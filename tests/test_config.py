@@ -1,0 +1,72 @@
+import json
+
+import numpy as np
+
+from vmap_tpu.config import Config
+
+
+REPLICA_VMAP = {
+    "dataset": {"live": 0, "path": "/tmp/room_0", "format": "Replica", "keep_alive": 20},
+    "optimizer": {"args": {"lr": 0.001, "weight_decay": 0.013}},
+    "trainer": {"imap_mode": 0, "do_bg": 1, "n_models": 100,
+                "training_strategy": "vmap", "scale": 1000.0},
+    "render": {"depth_range": [0.0, 8.0], "n_bins": 9, "n_bins_cam2surface": 1,
+               "n_bins_cam2surface_bg": 5, "iters_per_frame": 20,
+               "n_per_optim": 120, "n_per_optim_bg": 1200},
+    "model": {"n_unidir_funcs": 5, "obj_scale": 2.0, "bg_scale": 5.0,
+              "surface_eps": 0.1, "other_eps": 0.05, "keyframe_buffer_size": 20,
+              "keyframe_step": 25, "keyframe_step_bg": 50, "window_size": 5,
+              "window_size_bg": 10, "hidden_feature_size": 32,
+              "hidden_feature_size_bg": 128},
+    "camera": {"w": 1200, "h": 680, "fx": 600.0, "fy": 600.0,
+               "cx": 599.5, "cy": 339.5, "mw": 0, "mh": 0},
+    "vis": {"n_vis_iter": 500, "grid_dim": 256, "live_voxel_size": 0.005},
+}
+
+
+def test_replica_vmap_parity_fields():
+    c = Config.from_dict(REPLICA_VMAP)
+    assert c.do_bg and not c.imap_mode
+    assert c.max_n_models == 100
+    assert c.depth_scale == 1e-3
+    assert (c.min_depth, c.max_depth) == (0.0, 8.0)
+    assert (c.W, c.H) == (1200, 680)
+    assert (c.fx, c.cy) == (600.0, 339.5)
+    assert c.n_samples_per_frame == 120 // 5 == 24
+    assert c.n_samples_per_frame_bg == 1200 // 10 == 120
+    assert c.hidden_feature_size == 32 and c.hidden_feature_size_bg == 128
+    assert c.obj_scale == 2.0 and c.bg_scale == 5.0
+    assert c.surface_eps == 0.1 and c.stop_eps == 0.05
+    assert c.learning_rate == 1e-3 and c.weight_decay == 0.013
+
+
+def test_margin_crop_adjusts_intrinsics():
+    raw = json.loads(json.dumps(REPLICA_VMAP))
+    raw["camera"]["mw"] = 10
+    raw["camera"]["mh"] = 5
+    c = Config.from_dict(raw)
+    assert (c.W, c.H) == (1180, 670)
+    assert c.cx == 599.5 - 10 and c.cy == 339.5 - 5
+
+
+def test_defaults_for_missing_sections():
+    c = Config.from_dict({"trainer": {"n_models": 5}})
+    assert c.max_n_models == 5
+    assert c.n_bins == 9  # default
+    assert c.frame_pool_size > 0
+
+
+def test_json_roundtrip(tmp_path):
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps(REPLICA_VMAP))
+    c = Config.from_json(str(p))
+    assert c.dataset_format == "Replica"
+
+
+def test_distortion_from_k_params():
+    raw = json.loads(json.dumps(REPLICA_VMAP))
+    raw["camera"].update({"k1": 0.1, "k2": 0.2, "k3": 0.3, "k4": 0.4,
+                          "k5": 0.5, "k6": 0.6, "p1": 0.01, "p2": 0.02})
+    c = Config.from_dict(raw)
+    np.testing.assert_allclose(c.distortion_array,
+                               [0.1, 0.2, 0.01, 0.02, 0.3, 0.4, 0.5, 0.6])
