@@ -1,0 +1,203 @@
+"""The Mapper: orchestrates frame ingest, object instantiation, and the
+jitted per-frame training step.
+
+This is the TPU-native counterpart of the reference's main loop
+(train.py:95-338) plus the object table (train.py:59-61,123-176): a host-side
+registry maps dataset instance ids to bank slots, frames land once in the
+device-resident FramePool, keyframe bookkeeping is tiny host integers, and
+one jitted call per frame trains every object simultaneously.
+
+Differences from the reference, by design:
+  * no functorch stack/write-back — the bank IS the parameter storage;
+  * Adam moments survive new-object events;
+  * the "models full" cap (train.py:143-145) is the bank capacity.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vmap_tpu.config import Config
+from vmap_tpu.core import bank as bank_lib
+from vmap_tpu.core.keyframe import KeyframeTable
+from vmap_tpu.core.pool import FramePool
+from vmap_tpu.core.step import StepStatics, make_frame_step
+from vmap_tpu.ops.rays import ray_dirs_cache
+
+
+@dataclass
+class FrameSample:
+    """One ingested frame in the reference's (W, H) layout."""
+    image: np.ndarray        # [W, H, 3] uint8
+    depth: np.ndarray        # [W, H] float32 metres (already scaled+filtered)
+    inst: np.ndarray         # [W, H] int (-1 = unknown, 0 = background)
+    bbox_dict: dict          # obj_id -> [u_low, u_high, v_low, v_high]
+    t_wc: np.ndarray         # [4, 4]
+    frame_id: int
+
+
+@dataclass
+class ObjectRecord:
+    obj_id: int
+    slot: int
+    is_bg: bool
+    first_seen: int
+    scale: float
+
+
+class Mapper:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.capacity = cfg.max_n_models
+        self.hidden = cfg.hidden_feature_size
+        self.hidden_bg = cfg.hidden_feature_size_bg
+
+        key = jax.random.PRNGKey(cfg.seed)
+        key, k_obj, k_bg = jax.random.split(key, 3)
+        self.key = key
+        self.bank_obj = bank_lib.init_bank(k_obj, self.capacity, self.hidden,
+                                           default_scale=cfg.obj_scale)
+        self.bank_bg = (bank_lib.init_bank(k_bg, 1, self.hidden_bg,
+                                           default_scale=cfg.bg_scale)
+                        if cfg.do_bg else None)
+
+        self.pool = FramePool(cfg.frame_pool_size, cfg.W, cfg.H)
+        self.obj_table = KeyframeTable(self.capacity, cfg.keyframe_buffer_size)
+        self.bg_table = KeyframeTable(1, cfg.keyframe_buffer_size)
+        self.dirs_cache = ray_dirs_cache(cfg.W, cfg.H, cfg.fx, cfg.fy, cfg.cx, cfg.cy)
+
+        self.registry: dict[int, ObjectRecord] = {}   # obj_id -> record
+        self._slot_objid = np.full(self.capacity, -(10 ** 6), np.int32)
+        self._next_slot = 0
+        self.frames_ingested = 0
+        self.models_full_events = 0
+
+        self.statics = StepStatics(
+            n_iter=cfg.n_iter_per_frame,
+            win=cfg.win_size, n_px=cfg.n_samples_per_frame,
+            n_b2s=cfg.n_bins_cam2surface, n_bins=cfg.n_bins,
+            do_bg=cfg.do_bg, win_bg=cfg.win_size_bg,
+            n_px_bg=cfg.n_samples_per_frame_bg, n_b2s_bg=cfg.n_bins_cam2surface_bg,
+            min_depth=cfg.min_depth, surface_eps=cfg.surface_eps,
+            stop_eps=cfg.stop_eps, depth_scale=cfg.depth_scale,
+            lr=cfg.learning_rate, wd=cfg.weight_decay,
+            color_scaling=cfg.color_scaling, opacity_scaling=cfg.opacity_scaling,
+            max_deg=cfg.n_unidir_funcs, compute_dtype=cfg.compute_dtype,
+        )
+        self._step_fn = make_frame_step(self.statics)
+        self._activate_obj = jax.jit(
+            lambda b, slot, k, s: bank_lib.activate_slot(b, slot, k, s, self.hidden),
+            donate_argnums=(0,))
+        self._activate_bg = (jax.jit(
+            lambda b, slot, k, s: bank_lib.activate_slot(b, slot, k, s, self.hidden_bg),
+            donate_argnums=(0,)) if cfg.do_bg else None)
+
+    # ------------------------------------------------------------------ #
+    def _next_key(self) -> jax.Array:
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    def _register_object(self, obj_id: int, frame_id: int) -> ObjectRecord | None:
+        is_bg = self.cfg.do_bg and obj_id == 0
+        if is_bg:
+            rec = ObjectRecord(obj_id=0, slot=0, is_bg=True,
+                               first_seen=frame_id, scale=self.cfg.bg_scale)
+            self.bank_bg = self._activate_bg(
+                self.bank_bg, jnp.int32(0), self._next_key(),
+                jnp.float32(self.cfg.bg_scale))
+        else:
+            if self._next_slot >= self.capacity:  # models full (train.py:143-145)
+                self.models_full_events += 1
+                return None
+            slot = self._next_slot
+            self._next_slot += 1
+            rec = ObjectRecord(obj_id=obj_id, slot=slot, is_bg=False,
+                               first_seen=frame_id, scale=self.cfg.obj_scale)
+            self.bank_obj = self._activate_obj(
+                self.bank_obj, jnp.int32(slot), self._next_key(),
+                jnp.float32(self.cfg.obj_scale))
+            self._slot_objid[slot] = obj_id
+        self.registry[obj_id] = rec
+        return rec
+
+    def ingest_frame(self, sample: FrameSample) -> None:
+        cfg = self.cfg
+        depth_mm = np.clip(np.round(sample.depth * 1000.0), 0, 65535).astype(np.uint16)
+        inst = np.asarray(sample.inst).astype(np.int16)
+
+        pool_slot = self.pool.allocate(sample.frame_id)
+        self.pool.write(pool_slot, sample.image, depth_mm, inst, sample.t_wc)
+
+        for obj_id, bbox in sample.bbox_dict.items():
+            obj_id = int(obj_id)
+            if obj_id == -1:  # unsure area (train.py:124-125)
+                continue
+            rec = self.registry.get(obj_id)
+            if rec is None:
+                rec = self._register_object(obj_id, sample.frame_id)
+                if rec is None:
+                    continue
+                table = (self.bg_table if rec.is_bg else self.obj_table)
+                kf_step = cfg.keyframe_step_bg if rec.is_bg else cfg.keyframe_step
+                t = table.get_or_create(rec.slot, kf_step, seed=cfg.seed)
+                t.first_frame(pool_slot, np.asarray(bbox, np.float32))
+                self.pool.incref(pool_slot)
+                table.mark_dirty()
+            else:
+                table = (self.bg_table if rec.is_bg else self.obj_table)
+                t = table.objects[rec.slot]
+                _, evicted = t.append(pool_slot, np.asarray(bbox, np.float32))
+                self.pool.incref(pool_slot)
+                if evicted is not None:
+                    self.pool.decref(evicted)
+                table.mark_dirty()
+        self.frames_ingested += 1
+
+    # ------------------------------------------------------------------ #
+    def _device_tables(self):
+        obj_tab = tuple(jnp.asarray(a) for a in self.obj_table.as_arrays())
+        if self.cfg.do_bg:
+            bg_tab = tuple(jnp.asarray(a) for a in self.bg_table.as_arrays())
+        else:
+            bg_tab = obj_tab  # ignored by the step when do_bg=False
+        return obj_tab, bg_tab
+
+    def train_frame(self) -> dict:
+        """Run one full per-frame optimisation (n_iter_per_frame iterations
+        over all active objects + background) in a single device dispatch."""
+        if not self.registry:
+            return {}
+        obj_tab, bg_tab = self._device_tables()
+        obj_ids = jnp.asarray(self._slot_objid)
+        t0 = time.perf_counter()
+        self.bank_obj, self.bank_bg, metrics = self._step_fn(
+            self.bank_obj, self.bank_bg, *self.pool.arrays(),
+            obj_tab, obj_ids, bg_tab, self.dirs_cache, self._next_key())
+        metrics = {k: v for k, v in metrics.items()}
+        metrics["step_time_s"] = time.perf_counter() - t0
+        return metrics
+
+    def process_frame(self, sample: FrameSample) -> dict:
+        self.ingest_frame(sample)
+        return self.train_frame()
+
+    # ------------------------------------------------------------------ #
+    @property
+    def n_objects(self) -> int:
+        return sum(1 for r in self.registry.values() if not r.is_bg)
+
+    def record_for(self, obj_id: int) -> ObjectRecord:
+        return self.registry[obj_id]
+
+    def object_params(self, obj_id: int) -> tuple[dict, dict, float]:
+        """(pe_params, mlp_params, scale) for one object — host-side view
+        used by meshing/checkpointing."""
+        rec = self.registry[obj_id]
+        b = self.bank_bg if rec.is_bg else self.bank_obj
+        take = lambda t: jax.tree.map(lambda a: a[rec.slot], t)  # noqa: E731
+        return take(b.pe), take(b.mlp), float(b.scale[rec.slot])

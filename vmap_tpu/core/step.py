@@ -1,0 +1,218 @@
+"""The jitted per-frame training step.
+
+One device dispatch per frame covers what the reference spreads over
+hundreds of Python-level torch calls (train.py:195-326):
+
+  1. keyframe + pixel sampling for every object slot (vmap over the bank;
+     reference: per-object Python loop vmap.py:319-364),
+  2. depth-guided 3D sampling (branch-free, ops/sampling.py),
+  3. ``lax.scan`` over the ``n_iter_per_frame`` optimisation iterations,
+     each doing PE -> ensemble MLP -> volume render -> masked losses ->
+     masked AdamW on both the object bank and the background bank
+     (reference: Python for-loop with functorch vmap + torch autograd,
+     train.py:270-326),
+
+with all tensors resident in HBM and parameters donated (updated in place).
+
+Sampling parity notes:
+  * keyframe choice: uniform over local slots [0, n_kf) with the latest two
+    keyframes always included when n_kf > 2 (vmap.py:321-341);
+  * pixel choice: uniform inside the per-keyframe 2D bbox, truncated to int
+    (vmap.py:343-351);
+  * per-object pixel state derived from the pooled instance map:
+    1 = this object, 2 = unknown (-1 in the instance map), 0 = other
+    (train.py:128-137);
+  * gt rgb scaled by 1/255 at use (train.py:257).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+
+from vmap_tpu.core.bank import BankState, apply_adamw
+from vmap_tpu.ops import losses as L
+from vmap_tpu.ops import rays as R
+from vmap_tpu.ops import sampling as S
+from vmap_tpu.ops.embedding import embed
+from vmap_tpu.ops.mlp import mlp_apply
+
+
+@dataclass(frozen=True)
+class StepStatics:
+    """Static (compile-time) configuration of the train step."""
+    n_iter: int = 20
+    # object bank sampling
+    win: int = 5
+    n_px: int = 24
+    n_b2s: int = 1           # n_bins_cam2surface
+    n_bins: int = 9
+    # background bank sampling
+    do_bg: bool = True
+    win_bg: int = 10
+    n_px_bg: int = 120
+    n_b2s_bg: int = 5
+    # shared
+    min_depth: float = 0.0
+    surface_eps: float = 0.1
+    stop_eps: float = 0.05
+    depth_scale: float = 1e-3
+    lr: float = 1e-3
+    wd: float = 0.013
+    color_scaling: float = 5.0
+    opacity_scaling: float = 10.0
+    emb1: int = 87
+    max_deg: int = 5
+    compute_dtype: str = "float32"
+
+
+def _sample_bank(key, pool_rgb, pool_depth, pool_inst, pool_twc, dirs_cache,
+                 kf_pool_slot, kf_bbox, n_kf, latest2, obj_ids,
+                 n_frames: int, n_px: int, n_b2s: int, st: StepStatics):
+    """Vectorised training-sample gather for a whole bank.
+
+    Returns dict of [cap, n_frames*n_px, ...] arrays (rays flattened like
+    train.py:213-218).
+    """
+    cap = kf_pool_slot.shape[0]
+    W = pool_rgb.shape[1]
+    H = pool_rgb.shape[2]
+
+    def sample_one(key, kf_pool, bbox_tab, n_kf1, latest2_1, obj_id):
+        k_kf, k_u, k_v, k_z = jax.random.split(key, 4)
+        n_safe = jnp.maximum(n_kf1, 1)
+        ids_a = jnp.floor(
+            jax.random.uniform(k_kf, (n_frames,)) * n_safe).astype(jnp.int32)
+        ids_a = jnp.minimum(ids_a, n_safe - 1)
+        ids_b = jnp.concatenate([ids_a[: n_frames - 2], latest2_1.astype(jnp.int32)])
+        kf_local = jnp.where(n_kf1 > 2, ids_b, ids_a)
+
+        bbox = bbox_tab[kf_local]  # [n_frames, 4] = [u0, u1, v0, v1]
+        uu = jax.random.uniform(k_u, (n_frames, n_px))
+        vv = jax.random.uniform(k_v, (n_frames, n_px))
+        u = jnp.floor(uu * (bbox[:, 1] - bbox[:, 0])[:, None] + bbox[:, 0][:, None])
+        v = jnp.floor(vv * (bbox[:, 3] - bbox[:, 2])[:, None] + bbox[:, 2][:, None])
+        u = jnp.clip(u.astype(jnp.int32), 0, W - 1)
+        v = jnp.clip(v.astype(jnp.int32), 0, H - 1)
+
+        pool_ids = kf_pool[kf_local]  # [n_frames]
+        pid = pool_ids[:, None]
+        rgb = pool_rgb[pid, u, v].astype(jnp.float32) / 255.0      # [NF, NP, 3]
+        # pool depth is uint16 millimetres regardless of dataset scale
+        depth = pool_depth[pid, u, v].astype(jnp.float32) * 1e-3
+        inst = pool_inst[pid, u, v].astype(jnp.int32)
+        state = jnp.where(inst == obj_id, S.THIS_OBJ,
+                          jnp.where(inst == -1, S.UNKNOWN_OBJ, S.OTHER_OBJ))
+
+        dirs_c = dirs_cache[u, v]                     # [NF, NP, 3]
+        twc = pool_twc[pool_ids]                      # [NF, 4, 4]
+        origins, dirs_w = R.origin_dirs_w(twc, dirs_c)
+
+        max_bound = jnp.max(depth)
+        z, valid = S.sample_z(k_z, depth, state, st.min_depth, max_bound,
+                              n_b2s, st.n_bins, st.surface_eps, st.stop_eps)
+        pts = S.rays_to_points(origins, dirs_w, z)
+        return rgb, depth, state, valid, z, pts
+
+    keys = jax.random.split(key, cap)
+    rgb, depth, state, valid, z, pts = jax.vmap(sample_one)(
+        keys, kf_pool_slot, kf_bbox, n_kf, latest2, obj_ids)
+    n_rays = n_frames * n_px
+    s_total = n_b2s + st.n_bins
+    return {
+        "rgb": rgb.reshape(cap, n_rays, 3),
+        "depth": depth.reshape(cap, n_rays),
+        "state": state.reshape(cap, n_rays),
+        "valid": valid.reshape(cap, n_rays),
+        "z": z.reshape(cap, n_rays, s_total),
+        "pts": pts.reshape(cap, n_rays, s_total, 3),
+    }
+
+
+def _bank_forward(pe, mlp_p, scale, pts, st: StepStatics):
+    """PE + ensemble MLP over [cap, rays, samples, 3] points."""
+    cdtype = jnp.bfloat16 if st.compute_dtype == "bfloat16" else None
+    emb = jax.vmap(lambda p, x, s: embed(p, x, s, st.max_deg))(pe, pts, scale)
+    alpha, color = jax.vmap(
+        lambda p, e: mlp_apply(p, e, emb1=st.emb1, compute_dtype=cdtype))(mlp_p, emb)
+    return alpha[..., 0], color
+
+
+def _slice_iter(batch: dict, it: jax.Array, n_per: int) -> dict:
+    return {k: jax.lax.dynamic_slice_in_dim(v, it * n_per, n_per, axis=1)
+            for k, v in batch.items()}
+
+
+def _bank_loss(pe, mlp_p, scale, active, sl, st: StepStatics):
+    alpha, color = _bank_forward(pe, mlp_p, scale, sl["pts"], st)
+    return L.step_batch_loss(
+        alpha, color, sl["depth"], sl["rgb"], sl["state"], sl["valid"],
+        sl["z"], active, st.color_scaling, st.opacity_scaling)
+
+
+@lru_cache(maxsize=8)
+def make_frame_step(st: StepStatics):
+    """Build the jitted per-frame step for a static config.
+
+    Returned callable:
+        frame_step(bank_obj, bank_bg, pool_rgb, pool_depth, pool_inst,
+                   pool_twc, obj_tab, obj_ids, bg_tab, dirs_cache, key)
+            -> (bank_obj', bank_bg', metrics)
+    where *_tab = (kf_pool_slot, bbox, n_kf, latest2); bank_bg/bg_tab are
+    ignored (pass the same obj values) when st.do_bg is False.
+    """
+    n_frames = st.n_iter * st.win
+    n_frames_bg = st.n_iter * st.win_bg
+    n_per = st.win * st.n_px          # rays per obj per iteration
+    n_per_bg = st.win_bg * st.n_px_bg
+
+    def frame_step(bank_obj: BankState, bank_bg: BankState | None,
+                   pool_rgb, pool_depth, pool_inst, pool_twc,
+                   obj_tab, obj_ids, bg_tab, dirs_cache, key):
+        k_obj, k_bg = jax.random.split(key)
+        batch = _sample_bank(k_obj, pool_rgb, pool_depth, pool_inst, pool_twc,
+                             dirs_cache, *obj_tab, obj_ids,
+                             n_frames, st.n_px, st.n_b2s, st)
+        if st.do_bg:
+            bg_ids = jnp.zeros((1,), jnp.int32)  # background is instance 0
+            batch_bg = _sample_bank(k_bg, pool_rgb, pool_depth, pool_inst,
+                                    pool_twc, dirs_cache, *bg_tab, bg_ids,
+                                    n_frames_bg, st.n_px_bg, st.n_b2s_bg, st)
+
+        def body(carry, it):
+            b_obj, b_bg = carry
+            sl = _slice_iter(batch, it, n_per)
+
+            if st.do_bg:
+                sl_bg = _slice_iter(batch_bg, it, n_per_bg)
+
+                def loss_fn(pe_o, mlp_o, pe_b, mlp_b):
+                    lo, _ = _bank_loss(pe_o, mlp_o, b_obj.scale, b_obj.active, sl, st)
+                    lb, _ = _bank_loss(pe_b, mlp_b, b_bg.scale, b_bg.active, sl_bg, st)
+                    return lo + lb, (lo, lb)
+
+                (loss, (lo, lb)), grads = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(
+                        b_obj.pe, b_obj.mlp, b_bg.pe, b_bg.mlp)
+                g_pe_o, g_mlp_o, g_pe_b, g_mlp_b = grads
+                b_obj = apply_adamw(b_obj, g_pe_o, g_mlp_o, st.lr, st.wd)
+                b_bg = apply_adamw(b_bg, g_pe_b, g_mlp_b, st.lr, st.wd)
+            else:
+                def loss_fn(pe_o, mlp_o):
+                    lo, _ = _bank_loss(pe_o, mlp_o, b_obj.scale, b_obj.active, sl, st)
+                    return lo, lo
+
+                (loss, lo), grads = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1), has_aux=True)(b_obj.pe, b_obj.mlp)
+                b_obj = apply_adamw(b_obj, grads[0], grads[1], st.lr, st.wd)
+            return (b_obj, b_bg), loss
+
+        (bank_obj, bank_bg), losses = jax.lax.scan(
+            body, (bank_obj, bank_bg), jnp.arange(st.n_iter))
+        metrics = {"loss": losses[-1], "loss_mean": losses.mean()}
+        return bank_obj, bank_bg, metrics
+
+    return jax.jit(frame_step, donate_argnums=(0, 1))
