@@ -201,3 +201,36 @@ class Mapper:
         b = self.bank_bg if rec.is_bg else self.bank_obj
         take = lambda t: jax.tree.map(lambda a: a[rec.slot], t)  # noqa: E731
         return take(b.pe), take(b.mlp), float(b.scale[rec.slot])
+
+    # ---- meshing / bounds (trainer.meshing + get_bound counterparts) --- #
+    def get_bound(self, obj_id: int, stride: int = 4):
+        from vmap_tpu.core import meshing
+        return meshing.object_bound(self, obj_id, stride=stride)
+
+    def mesh_object(self, obj_id: int, bound=None, grid_dim: int | None = None):
+        """Extract a coloured mesh for one object; None if bounds or the
+        level set are degenerate (train.py:347-355 skips those)."""
+        from vmap_tpu.core import meshing
+        if bound is None:
+            bound = self.get_bound(obj_id)
+        if bound is None:
+            return None
+        if grid_dim is None:
+            grid_dim = meshing.adaptive_grid_dim(
+                bound, self.cfg.live_voxel_size, self.cfg.grid_dim)
+        return meshing.mesh_object(self, obj_id, bound, grid_dim=grid_dim)
+
+    def export_meshes(self, out_dir: str, frame_id: int) -> list[str]:
+        """Export every object's mesh as
+        ``<out_dir>/frame_<f>_obj<id>.obj`` (train.py:357-360)."""
+        import os
+        os.makedirs(out_dir, exist_ok=True)
+        paths = []
+        for obj_id in sorted(self.registry):
+            mesh = self.mesh_object(obj_id)
+            if mesh is None:
+                continue
+            p = os.path.join(out_dir, f"frame_{frame_id}_obj{obj_id}.obj")
+            mesh.export(p)
+            paths.append(p)
+        return paths

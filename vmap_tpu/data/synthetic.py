@@ -70,11 +70,15 @@ class SyntheticScene:
 
     # ---- ray casting ----------------------------------------------------
     def _ray_sphere(self, o, d):
+        # rays are unnormalised (z-depth parameterisation): solve
+        # a t^2 + 2 b t + c = 0 with a = d.d
         oc = o - self.sphere_center
+        a = (d * d).sum(-1)
         b = (d * oc).sum(-1)
         c = (oc * oc).sum(-1) - self.sphere_radius ** 2
-        disc = b * b - c
-        t = -b - np.sqrt(np.maximum(disc, 0.0))
+        disc = b * b - a * c
+        with np.errstate(invalid="ignore"):
+            t = (-b - np.sqrt(np.maximum(disc, 0.0))) / a
         return np.where((disc > 0) & (t > 0), t, np.inf)
 
     def _ray_box(self, o, d):

@@ -1,0 +1,147 @@
+"""Isosurface extraction via marching tetrahedra.
+
+Fills the role of skimage.measure.marching_cubes in the reference's meshing
+path (vis.py:6-19): occupancy grid -> triangle mesh at a level set. Each
+grid cell is split into 6 tetrahedra sharing the main diagonal; per-tet
+surface triangulation has only 16 cases, generated programmatically below
+(no hand-copied tables). Vertices are emitted in index coordinates
+(0..dim-1 per axis) exactly like skimage, so the caller's rescaling chain
+is unchanged.
+
+Vectorised numpy: the case loop is 6 tets x 14 non-trivial cases of
+masked gather/interp — all inner math is array-wide. A C++ drop-in with the
+same contract lives in vmap_tpu/native (used when built; this is the
+fallback and the reference implementation for its tests).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# cube corner offsets, index = bit order used below
+_CORNERS = np.array([
+    [0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+    [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1],
+], dtype=np.int64)
+
+# six tetrahedra covering the cube, all sharing the 0-6 diagonal
+_TETS = np.array([
+    [0, 5, 1, 6],
+    [0, 1, 2, 6],
+    [0, 2, 3, 6],
+    [0, 3, 7, 6],
+    [0, 7, 4, 6],
+    [0, 4, 5, 6],
+], dtype=np.int64)
+
+
+def _tet_case_table():
+    """case id (4-bit inside mask) -> list of triangles, each triangle a
+    list of 3 edges, each edge an (inside_corner, outside_corner) pair of
+    local tet vertex indices. Orientation: edges are ordered from the
+    inside vertex so interpolation t runs inside->outside consistently."""
+    table = {}
+    for cid in range(16):
+        inside = [i for i in range(4) if cid & (1 << i)]
+        outside = [i for i in range(4) if not cid & (1 << i)]
+        if len(inside) in (0, 4):
+            table[cid] = []
+        elif len(inside) == 1:
+            a = inside[0]
+            o = outside
+            table[cid] = [[(a, o[0]), (a, o[1]), (a, o[2])]]
+        elif len(inside) == 3:
+            a = outside[0]
+            i = inside
+            # flip winding vs the 1-inside case (surface faces the other way)
+            table[cid] = [[(i[0], a), (i[2], a), (i[1], a)]]
+        else:  # two inside
+            a, b = inside
+            c, d = outside
+            table[cid] = [
+                [(a, c), (a, d), (b, d)],
+                [(a, c), (b, d), (b, c)],
+            ]
+    return table
+
+
+_CASES = _tet_case_table()
+
+
+def marching_cubes(volume: np.ndarray, level: float = 0.5):
+    """Extract the ``level`` isosurface of a [X, Y, Z] scalar field.
+
+    Returns (vertices [V, 3] float32 in index coords, faces [F, 3] int64),
+    or (None, None) when the level set is empty (the reference's meshing
+    treats that as "marching cube failed", train.py:353-355).
+    """
+    vol = np.asarray(volume, np.float32)
+    if vol.ndim != 3 or min(vol.shape) < 2:
+        return None, None
+    if not ((vol > level).any() and (vol < level).any()):
+        return None, None
+
+    nx, ny, nz = vol.shape
+    cx, cy, cz = nx - 1, ny - 1, nz - 1
+
+    # only process cells whose 2x2x2 block straddles the level
+    blocks_max = vol[:-1, :-1, :-1].copy()
+    blocks_min = vol[:-1, :-1, :-1].copy()
+    for dx, dy, dz in _CORNERS[1:]:
+        blk = vol[dx:cx + dx, dy:cy + dy, dz:cz + dz]
+        np.maximum(blocks_max, blk, out=blocks_max)
+        np.minimum(blocks_min, blk, out=blocks_min)
+    act = np.nonzero((blocks_min < level) & (blocks_max > level))
+    if act[0].size == 0:
+        return None, None
+    base = np.stack(act, axis=1)  # [M, 3] cell origins
+
+    # per-cell corner values and positions
+    corner_vals = np.stack(
+        [vol[base[:, 0] + dx, base[:, 1] + dy, base[:, 2] + dz]
+         for dx, dy, dz in _CORNERS], axis=1)                     # [M, 8]
+    corner_pos = base[:, None, :].astype(np.float32) + _CORNERS[None].astype(np.float32)
+
+    tris = []
+    for tet in _TETS:
+        tv = corner_vals[:, tet]                                  # [M, 4]
+        inside = tv > level
+        cid = (inside * np.array([1, 2, 4, 8])).sum(axis=1)       # [M]
+        for case in range(1, 15):
+            sel = np.nonzero(cid == case)[0]
+            if sel.size == 0:
+                continue
+            for tri_edges in _CASES[case]:
+                pts = []
+                in_out_dir = None
+                for (ia, ib) in tri_edges:
+                    va = corner_vals[sel, tet[ia]]
+                    vb = corner_vals[sel, tet[ib]]
+                    pa = corner_pos[sel, tet[ia]]
+                    pb = corner_pos[sel, tet[ib]]
+                    t = (level - va) / (vb - va)
+                    pts.append(pa + t[:, None] * (pb - pa))
+                    if in_out_dir is None:
+                        # orientation anchor: inside corner -> outside corner
+                        sign = np.where(va > level, 1.0, -1.0)[:, None]
+                        in_out_dir = (pb - pa) * sign
+                tri = np.stack(pts, axis=1)                       # [m, 3, 3]
+                # consistent winding: normal points from inside to outside
+                nrm = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+                flip = (nrm * in_out_dir).sum(axis=1) < 0
+                tri[flip] = tri[flip][:, ::-1]
+                tris.append(tri)
+    if not tris:
+        return None, None
+    soup = np.concatenate(tris, axis=0)
+
+    # weld duplicate vertices (quantise well below voxel scale)
+    flat = soup.reshape(-1, 3)
+    keys = np.round(flat * 1024.0).astype(np.int64)
+    _, idx, inv = np.unique(keys, axis=0, return_index=True, return_inverse=True)
+    vertices = flat[idx]
+    faces = inv.reshape(-1, 3)
+    # drop degenerate faces (two welded corners)
+    ok = ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
+          & (faces[:, 0] != faces[:, 2]))
+    return vertices.astype(np.float32), faces[ok].astype(np.int64)
