@@ -1,0 +1,126 @@
+"""Benchmark: vectorised optimisation steps/sec for the Replica vMAP
+workload shape (100 object MLPs h=32 + background h=128).
+
+One "optimisation step" = one inner iteration of the per-frame loop: PE +
+ensemble MLP forward/backward + volume render + masked losses + masked
+AdamW for all 100 objects (120 rays x 10 samples each) AND the background
+field (1200 rays x 14 samples) — the unit the reference performs 20x per
+frame in Python (train.py:270-326). Sampling is included (amortised across
+the jitted frame step), so this is end-to-end step throughput, not just the
+matmul.
+
+Prints exactly one JSON line:
+  {"metric": "train_steps_per_sec_100obj", "value": N, "unit": "steps/s",
+   "vs_baseline": N / 5000.0}
+(baseline: >= 5000 steps/s on one TPU v5e chip, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_workload(compute_dtype: str = "bfloat16"):
+    import jax
+    import jax.numpy as jnp
+    from vmap_tpu.core.bank import activate_slot, init_bank
+    from vmap_tpu.core.step import StepStatics, make_frame_step
+    from vmap_tpu.ops.rays import ray_dirs_cache
+
+    # Replica room0 vMAP config shapes (configs/Replica/..._vMAP.json)
+    CAP, HIDDEN, HIDDEN_BG = 100, 32, 128
+    W, H, KF = 1200, 680, 20
+    POOL = 16
+
+    st = StepStatics(
+        n_iter=20, win=5, n_px=24, n_b2s=1, n_bins=9,
+        do_bg=True, win_bg=10, n_px_bg=120, n_b2s_bg=5,
+        min_depth=0.0, surface_eps=0.1, stop_eps=0.05,
+        lr=1e-3, wd=0.013, compute_dtype=compute_dtype,
+    )
+
+    key = jax.random.PRNGKey(0)
+    bank_obj = init_bank(key, CAP, HIDDEN, 2.0)
+    # activate all slots in one scan-free pass (vmap the fresh init)
+    from vmap_tpu.ops.embedding import init_pe_params
+    from vmap_tpu.ops.mlp import init_mlp_params
+    keys = jax.random.split(key, CAP)
+    bank_obj = bank_obj.replace(
+        pe=jax.vmap(init_pe_params)(keys),
+        mlp=jax.vmap(lambda k: init_mlp_params(k, HIDDEN))(keys),
+        active=jnp.ones((CAP,), bool))
+    bank_bg = init_bank(jax.random.fold_in(key, 1), 1, HIDDEN_BG, 5.0)
+    bank_bg = activate_slot(bank_bg, 0, jax.random.fold_in(key, 2), 5.0, HIDDEN_BG)
+
+    rng = np.random.default_rng(0)
+    pool = (
+        jnp.asarray(rng.integers(0, 255, (POOL, W, H, 3)), jnp.uint8),
+        jnp.asarray(rng.integers(500, 7500, (POOL, W, H)), jnp.uint16),
+        jnp.asarray(rng.integers(-1, CAP, (POOL, W, H)), jnp.int16),
+        jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (POOL, 1, 1)),
+    )
+    kf_pool = jnp.asarray(rng.integers(0, POOL, (CAP, KF)), jnp.int32)
+    bbox = jnp.tile(jnp.asarray([100, 500, 100, 400], jnp.float32), (CAP, KF, 1))
+    n_kf = jnp.full((CAP,), KF - 1, jnp.int32)
+    latest2 = jnp.tile(jnp.asarray([KF - 3, KF - 2], jnp.int32), (CAP, 1))
+    obj_tab = (kf_pool, bbox, n_kf, latest2)
+    obj_ids = jnp.arange(CAP, dtype=jnp.int32)
+    bg_bbox = jnp.tile(jnp.asarray([0, W, 0, H], jnp.float32), (1, KF, 1))
+    bg_tab = (kf_pool[:1], bg_bbox, n_kf[:1], latest2[:1])
+    dirs = ray_dirs_cache(W, H, 600.0, 600.0, 599.5, 339.5)
+
+    step = make_frame_step(st)
+    return step, st, (bank_obj, bank_bg, pool, obj_tab, obj_ids, bg_tab, dirs)
+
+
+def run(frames: int = 30, compute_dtype: str = "bfloat16") -> dict:
+    import jax
+
+    step, st, (bank_obj, bank_bg, pool, obj_tab, obj_ids, bg_tab, dirs) = \
+        build_workload(compute_dtype)
+
+    key = jax.random.PRNGKey(42)
+
+    def one_frame(bo, bb, k):
+        return step(bo, bb, *pool, obj_tab, obj_ids, bg_tab, dirs, k)
+
+    # warmup / compile
+    t0 = time.time()
+    bank_obj, bank_bg, m = one_frame(bank_obj, bank_bg, key)
+    jax.block_until_ready(m["loss"])
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    for i in range(frames):
+        key = jax.random.fold_in(key, i)
+        bank_obj, bank_bg, m = one_frame(bank_obj, bank_bg, key)
+    jax.block_until_ready(m["loss"])
+    elapsed = time.time() - t0
+
+    steps = frames * st.n_iter
+    sps = steps / elapsed
+    return {
+        "metric": "train_steps_per_sec_100obj",
+        "value": round(sps, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(sps / 5000.0, 3),
+        "detail": {
+            "frames": frames, "iters_per_frame": st.n_iter,
+            "frame_ms": round(1000 * elapsed / frames, 2),
+            "compile_s": round(compile_s, 1),
+            "compute_dtype": compute_dtype,
+            "loss_final": float(m["loss"]),
+            "backend": jax.devices()[0].platform,
+        },
+    }
+
+
+if __name__ == "__main__":
+    frames = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
+    result = run(frames, dtype)
+    print(json.dumps(result))

@@ -1,0 +1,105 @@
+import numpy as np
+import pytest
+
+from vmap_tpu.eval.mesh_eval import (compose_scene_mesh, crop_to_gt_bound,
+                                     eval_object, eval_scene,
+                                     object_ids_in_dir)
+from vmap_tpu.eval.metrics import (accuracy, all_metrics, chamfer, completion,
+                                   completion_ratio)
+from vmap_tpu.geometry.mesh import Mesh
+
+
+def _icosphere(radius=1.0, center=(0, 0, 0), subdiv=3) -> Mesh:
+    t = (1 + 5 ** 0.5) / 2
+    verts = np.array([
+        [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+        [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+        [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1]], float)
+    faces = np.array([
+        [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+        [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+        [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+        [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1]])
+    for _ in range(subdiv):
+        mid = {}
+        new_faces = []
+        vlist = list(verts)
+        def midpoint(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in mid:
+                vlist.append((vlist[a] + vlist[b]) / 2)
+                mid[key] = len(vlist) - 1
+            return mid[key]
+        for f in faces:
+            a, b, c = f
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+        verts = np.array(vlist)
+        faces = np.array(new_faces)
+    verts = verts / np.linalg.norm(verts, axis=1, keepdims=True) * radius
+    return Mesh(verts + np.asarray(center, float), faces)
+
+
+def test_metrics_identical_sets():
+    pts = np.random.default_rng(0).random((500, 3))
+    assert accuracy(pts, pts) == 0.0
+    assert completion(pts, pts) == 0.0
+    assert completion_ratio(pts, pts, 0.01) == 1.0
+    assert chamfer(pts, pts) == 0.0
+
+
+def test_metrics_known_offset():
+    gt = np.zeros((100, 3))
+    rec = gt + [0.02, 0, 0]
+    assert abs(accuracy(gt, rec) - 0.02) < 1e-9
+    assert abs(completion(gt, rec) - 0.02) < 1e-9
+    assert completion_ratio(gt, rec, 0.01) == 0.0
+    assert completion_ratio(gt, rec, 0.05) == 1.0
+
+
+def test_metrics_asymmetry():
+    """Accuracy penalises spurious reconstruction; completion penalises
+    missing GT coverage."""
+    gt = np.random.default_rng(1).random((1000, 3))
+    rec_partial = gt[:100]                    # accurate but incomplete
+    assert accuracy(gt, rec_partial) < 0.01
+    assert completion(gt, rec_partial) > 0.05
+
+
+def test_eval_scene_self():
+    sphere = _icosphere(1.0)
+    # identical surfaces: the only residual is finite-sample NN spacing,
+    # ~sqrt(area/n) = sqrt(4*pi/5000) ~ 0.05
+    m = eval_scene(sphere, sphere, n=5000)
+    assert m["accuracy"] < 0.05 and m["completion"] < 0.05
+    assert m["completion_ratio_5cm"] > 0.9
+
+
+def test_eval_object_crop_removes_outside_geometry():
+    gt = _icosphere(0.5, center=(0, 0, 0))
+    rec = Mesh.concatenate([
+        _icosphere(0.5, center=(0, 0, 0)),
+        _icosphere(0.5, center=(5, 0, 0)),   # junk far away
+    ])
+    m = eval_object(rec, gt, n=4000)
+    assert m is not None
+    # junk outside the GT bound is cropped away -> accuracy stays tight
+    assert m["accuracy"] < 0.03, m
+    cropped = crop_to_gt_bound(rec, gt)
+    assert cropped.vertices[:, 0].max() < 1.0
+
+
+def test_eval_object_empty_after_crop():
+    gt = _icosphere(0.5, center=(0, 0, 0))
+    rec = _icosphere(0.5, center=(50, 0, 0))
+    assert eval_object(rec, gt) is None
+
+
+def test_compose_scene_and_ids(tmp_path):
+    a = _icosphere(0.5, subdiv=1)
+    b = _icosphere(0.3, center=(2, 0, 0), subdiv=1)
+    a.export(str(tmp_path / "frame_99_obj1.obj"))
+    b.export(str(tmp_path / "frame_99_obj2.obj"))
+    assert object_ids_in_dir(str(tmp_path)) == [1, 2]
+    scene = compose_scene_mesh(str(tmp_path))
+    assert len(scene.faces) == len(a.faces) + len(b.faces)

@@ -67,6 +67,10 @@ class StepStatics:
     emb1: int = 87
     max_deg: int = 5
     compute_dtype: str = "float32"
+    # multi-device: constrain the background ray batch to the "data" mesh
+    # axis (data-parallel bg; XLA then psums bg grads). Requires an active
+    # mesh (jax.sharding.use_mesh) at trace time.
+    shard_data_axis: bool = False
 
 
 def _sample_bank(key, pool_rgb, pool_depth, pool_inst, pool_twc, dirs_cache,
@@ -181,6 +185,11 @@ def make_frame_step(st: StepStatics):
             batch_bg = _sample_bank(k_bg, pool_rgb, pool_depth, pool_inst,
                                     pool_twc, dirs_cache, *bg_tab, bg_ids,
                                     n_frames_bg, st.n_px_bg, st.n_b2s_bg, st)
+            if st.shard_data_axis:
+                from jax.sharding import PartitionSpec as P
+                batch_bg = jax.tree.map(
+                    lambda a: jax.lax.with_sharding_constraint(
+                        a, P(None, "data")), batch_bg)
 
         def body(carry, it):
             b_obj, b_bg = carry

@@ -1,0 +1,119 @@
+"""3D instance association for noisy instance streams (ScanNet path).
+
+Counterpart of the reference's ``box_filter`` (utils.py:112-208): each
+frame's 2D instance masks are validated against persistent per-instance 3D
+oriented boxes built from back-projected depth. Pixels whose 3D points fall
+outside the remembered box are relabelled ``-1`` (unsure) so the mapper's
+pixel-state machinery treats them as unknown; masks with no 3D support
+are dropped to background. Uses the in-repo geometry stack (unprojection,
+minimal OBB, voxel downsampling) instead of Open3D.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from vmap_tpu.geometry.obb import OrientedBox, obb_from_points
+from vmap_tpu.geometry.pointcloud import unproject_depth, voxel_downsample
+
+
+@dataclass
+class InstanceTrack:
+    """Persistent 3D state of one instance id (reference InstData,
+    utils.py:101-109)."""
+    inst_id: int
+    points: np.ndarray
+    bbox3d: OrientedBox | None = None
+    merge_cnt: int = 0
+    cmp_cnt: int = 0
+
+
+@dataclass
+class AssociationState:
+    tracks: dict[int, InstanceTrack] = field(default_factory=dict)
+
+
+def _erode(mask: np.ndarray, iterations: int = 3) -> np.ndarray:
+    """5x5 binary erosion (reference cv2.erode, utils.py:181); cv2 when
+    available, numpy fallback otherwise."""
+    try:
+        import cv2
+        return cv2.erode(mask.astype(np.uint8), np.ones((5, 5), np.uint8),
+                         iterations=iterations).astype(bool)
+    except ImportError:  # pragma: no cover
+        m = mask.astype(bool)
+        for _ in range(iterations * 2):  # (5x5)^3 ~ (3x3)^6
+            interior = np.zeros_like(m)
+            interior[1:-1, 1:-1] = (
+                m[1:-1, 1:-1] & m[:-2, 1:-1] & m[2:, 1:-1]
+                & m[1:-1, :-2] & m[1:-1, 2:])
+            m = interior
+        return m
+
+
+def associate_frame(
+    masks: list[np.ndarray],
+    ids: list[int],
+    depth: np.ndarray,
+    state: AssociationState,
+    fx: float, fy: float, cx: float, cy: float,
+    t_wc: np.ndarray,
+    min_pixels: int = 500,
+    voxel_size: float = 0.01,
+    bbox_scale: float = 1.0,
+) -> np.ndarray:
+    """Validate/merge this frame's masks against the persistent 3D tracks.
+
+    Returns the relabelled (W, H) instance map: 0 background, -1 unsure,
+    otherwise the instance id. Mirrors box_filter's decision tree
+    (utils.py:112-208)."""
+    inst_out = np.zeros(depth.shape, np.int32)
+    for mask, inst_id in zip(masks, ids):
+        if inst_id == 0:
+            continue
+        pts = unproject_depth(depth, fx, fy, cx, cy, t_wc=t_wc, mask=mask)
+        if len(pts) <= 10:  # too small in 3D (utils.py:126-128)
+            continue
+
+        diff_mask = None
+        track = state.tracks.get(inst_id)
+        if track is not None and track.bbox3d is not None:
+            track.cmp_cnt += 1
+            inside = track.bbox3d.scaled(bbox_scale).contains(pts)
+            if inside.sum() >= 1:
+                track.points = voxel_downsample(
+                    np.concatenate([track.points, pts[inside]]), voxel_size)
+                # pixels with valid depth whose 3D point left the box ->
+                # unsure (utils.py:139-155)
+                valid_px = mask & (depth > 0)
+                u, v = np.nonzero(valid_px)
+                diff_mask = np.zeros_like(mask)
+                diff_mask[u[~inside], v[~inside]] = True
+                box = obb_from_points(track.points)
+                if box is None:
+                    inst_out[mask] = -1
+                    continue
+                track.bbox3d = box
+                track.merge_cnt += 1
+            else:  # no overlap at all: whole mask unsure (utils.py:158-161)
+                inst_out[mask] = -1
+                continue
+        else:  # new instance (utils.py:177-201)
+            small = _erode(mask)
+            if small.sum() < min_pixels:
+                continue  # too small -> background
+            pts_small = unproject_depth(depth, fx, fy, cx, cy, t_wc=t_wc,
+                                        mask=small)
+            pts_small = voxel_downsample(pts_small, voxel_size)
+            box = obb_from_points(pts_small)
+            if box is None:
+                continue
+            state.tracks[inst_id] = InstanceTrack(
+                inst_id=inst_id, points=pts_small, bbox3d=box)
+
+        inst_out[mask] = inst_id
+        if diff_mask is not None:
+            inst_out[diff_mask] = -1
+    return inst_out

@@ -1,0 +1,71 @@
+"""Mesh-level evaluation protocols (scene and object).
+
+Parity with the reference's offline scripts:
+  * scene protocol (eval_3D_scene.py:36-82): compose per-object meshes into
+    a scene mesh, sample 200k surface points on reconstruction and GT,
+    report Acc / Comp / Comp-ratio@{1cm,5cm};
+  * object protocol (eval_3D_obj.py:8-117): per object, crop the
+    reconstruction to the GT oriented bbox enlarged by 1/0.9, sample 10k
+    points (200k for the background), average metrics over objects.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+
+from vmap_tpu.eval.metrics import all_metrics
+from vmap_tpu.geometry.mesh import Mesh, load_mesh
+from vmap_tpu.geometry.obb import OrientedBox, oriented_bounds
+
+
+def compose_scene_mesh(mesh_dir: str, frame_id: int | None = None) -> Mesh:
+    """Concatenate frame_<f>_obj<i>.obj meshes into one scene mesh
+    (eval_3D_scene.py:53-60). Uses the largest frame id when none given."""
+    files = [f for f in os.listdir(mesh_dir) if f.endswith((".obj", ".ply"))]
+    if frame_id is None:
+        fids = [int(m.group(1)) for f in files
+                if (m := re.match(r"frame_(\d+)_obj", f))]
+        frame_id = max(fids)
+    picked = [f for f in files if f.startswith(f"frame_{frame_id}_obj")]
+    meshes = [load_mesh(os.path.join(mesh_dir, f)) for f in sorted(picked)]
+    return Mesh.concatenate(meshes)
+
+
+def eval_scene(rec_mesh: Mesh, gt_mesh: Mesh, n: int = 200000,
+               seed: int = 0) -> dict:
+    rec_pts = rec_mesh.sample_surface(n, seed=seed)
+    gt_pts = gt_mesh.sample_surface(n, seed=seed + 1)
+    return all_metrics(gt_pts, rec_pts)
+
+
+def crop_to_gt_bound(rec_mesh: Mesh, gt_mesh: Mesh,
+                     enlarge: float = 1.0 / 0.9) -> Mesh:
+    """Crop the reconstruction to the GT mesh's oriented bounds enlarged by
+    ``enlarge`` (eval_3D_obj.py:13-16 divides extents by 0.9)."""
+    to_origin, extents = oriented_bounds(gt_mesh.vertices)
+    box = OrientedBox.from_to_origin(to_origin, np.asarray(extents) * enlarge)
+    return rec_mesh.slice_box(box)
+
+
+def eval_object(rec_mesh: Mesh, gt_mesh: Mesh, n: int = 10000,
+                seed: int = 0) -> dict | None:
+    cropped = crop_to_gt_bound(rec_mesh, gt_mesh)
+    if len(cropped.faces) == 0 or cropped.area <= 0:
+        return None  # "no mesh found" (eval_3D_obj.py:17-19)
+    rec_pts = cropped.sample_surface(n, seed=seed)
+    gt_pts = gt_mesh.sample_surface(n, seed=seed + 1)
+    return all_metrics(gt_pts, rec_pts)
+
+
+def object_ids_in_dir(mesh_dir: str) -> list[int]:
+    """Object ids present as frame_*_obj<id>.obj exports
+    (eval_3D_obj.py:60-67)."""
+    ids = set()
+    for f in os.listdir(mesh_dir):
+        m = re.match(r"frame_\d+_obj(\d+)\.(obj|ply)$", f)
+        if m:
+            ids.add(int(m.group(1)))
+    return sorted(ids)

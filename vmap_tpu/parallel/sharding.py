@@ -1,0 +1,65 @@
+"""Sharding layouts for the train step over a jax.sharding.Mesh.
+
+Axes:
+  * ``obj``  — partitions the object bank (params, Adam moments, keyframe
+    tables, sampled batches) along the leading capacity axis. Objects are
+    independent, so the only cross-device traffic is the scalar loss
+    reduction. This is the expert-parallel axis.
+  * ``data`` — partitions the background/iMAP field's ray batch. The bg
+    parameters are replicated; XLA inserts a psum over ``data`` for the bg
+    gradient all-reduce (data-parallel).
+
+Usage: ``place_state(...)`` device_puts the Mapper's arrays with these
+shardings; the jitted frame step then compiles SPMD automatically from its
+input shardings (no shard_map needed — collectives come from the
+partitioner).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, data_axis: bool = True) -> Mesh:
+    """1D ("obj",) or 2D ("obj", "data") mesh over the first n devices."""
+    devs = jax.devices() if n_devices is None else jax.devices()[:n_devices]
+    n = len(devs)
+    if data_axis and n >= 4 and n % 2 == 0:
+        shape = (n // 2, 2)
+        return Mesh(np.array(devs).reshape(shape), ("obj", "data"))
+    return Mesh(np.array(devs).reshape(n, 1), ("obj", "data"))
+
+
+def _shard(mesh: Mesh, *spec) -> NamedSharding:
+    return NamedSharding(mesh, P(*spec))
+
+
+def place_bank(mesh: Mesh, bank, axis: str | None = "obj"):
+    """Shard every bank leaf along its leading (capacity) axis; pass
+    axis=None to replicate (used for the 1-slot background bank)."""
+    def put(a):
+        return jax.device_put(a, _shard(mesh, axis))
+    return jax.tree.map(put, bank)
+
+
+def place_replicated(mesh: Mesh, tree):
+    return jax.tree.map(lambda a: jax.device_put(a, _shard(mesh)), tree)
+
+
+def place_tables(mesh: Mesh, tab: tuple, axis: str = "obj") -> tuple:
+    return tuple(jax.device_put(a, _shard(mesh, axis)) for a in tab)
+
+
+def place_state(mesh: Mesh, bank_obj, bank_bg, pool_arrays, obj_tab, obj_ids,
+                bg_tab, dirs_cache):
+    """Shard a Mapper's device state for SPMD execution of the frame step."""
+    bank_obj = place_bank(mesh, bank_obj, "obj")
+    bank_bg = None if bank_bg is None else place_bank(mesh, bank_bg, None)
+    pool_arrays = place_replicated(mesh, pool_arrays)
+    obj_tab = place_tables(mesh, obj_tab, "obj")
+    obj_ids = jax.device_put(obj_ids, _shard(mesh, "obj"))
+    bg_tab = place_tables(mesh, bg_tab, None) if bg_tab is not None else None
+    dirs_cache = jax.device_put(dirs_cache, _shard(mesh))
+    return bank_obj, bank_bg, pool_arrays, obj_tab, obj_ids, bg_tab, dirs_cache
