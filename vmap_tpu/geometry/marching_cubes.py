@@ -68,13 +68,32 @@ def _tet_case_table():
 _CASES = _tet_case_table()
 
 
-def marching_cubes(volume: np.ndarray, level: float = 0.5):
+def marching_cubes(volume: np.ndarray, level: float = 0.5,
+                   backend: str = "auto"):
     """Extract the ``level`` isosurface of a [X, Y, Z] scalar field.
 
     Returns (vertices [V, 3] float32 in index coords, faces [F, 3] int64),
     or (None, None) when the level set is empty (the reference's meshing
     treats that as "marching cube failed", train.py:353-355).
+
+    ``backend``: "auto" prefers the C++ core (vmap_tpu/native) and falls
+    back to numpy; "native" / "numpy" force one.
     """
+    if backend in ("auto", "native"):
+        try:
+            from vmap_tpu import native
+            if native.available():
+                return native.marching_cubes_native(volume, level)
+            if backend == "native":
+                raise RuntimeError("native geometry library unavailable")
+        except ImportError:
+            if backend == "native":
+                raise
+    return marching_cubes_numpy(volume, level)
+
+
+def marching_cubes_numpy(volume: np.ndarray, level: float = 0.5):
+    """Pure-numpy reference implementation (same contract)."""
     vol = np.asarray(volume, np.float32)
     if vol.ndim != 3 or min(vol.shape) < 2:
         return None, None
