@@ -52,10 +52,24 @@ def test_obb_corners_and_planes():
         assert (np.asarray([0, 0, 0]) - o) @ n > 0
 
 
-def test_degenerate_points_return_none():
-    line = np.stack([np.linspace(0, 1, 10)] * 3, axis=1)  # colinear
-    assert obb_from_points(line) is None
+def test_degenerate_points_joggle_fallback():
+    # colinear points: joggled hull yields a valid hair-thin box
+    line = np.stack([np.linspace(0, 1, 10)] * 3, axis=1)
+    box = obb_from_points(line)
+    assert box is not None
+    assert box.extent.max() >= np.sqrt(3) * 0.9  # spans the segment
+    # too few points is still a hard failure
     assert obb_from_points(np.zeros((2, 3))) is None
+
+
+def test_coplanar_points_get_thin_box():
+    rng = np.random.default_rng(5)
+    pts = rng.random((200, 3))
+    pts[:, 2] = 2.0  # exactly planar
+    box = obb_from_points(pts, min_extent=0.05)
+    assert box is not None
+    assert box.extent.min() >= 0.05
+    assert box.contains(np.array([[0.5, 0.5, 2.0]])).all()
 
 
 def test_min_extent_floor():

@@ -90,6 +90,7 @@ class Mapper:
             max_deg=cfg.n_unidir_funcs, compute_dtype=cfg.compute_dtype,
         )
         self._step_fn = make_frame_step(self.statics)
+        self._forloop_step_fn = None  # built lazily (ablation baseline)
         self._activate_obj = jax.jit(
             lambda b, slot, k, s: bank_lib.activate_slot(b, slot, k, s, self.hidden),
             donate_argnums=(0,))
@@ -169,9 +170,14 @@ class Mapper:
 
     def train_frame(self) -> dict:
         """Run one full per-frame optimisation (n_iter_per_frame iterations
-        over all active objects + background) in a single device dispatch."""
+        over all active objects + background). ``training_strategy ==
+        "vmap"``: one device dispatch for the whole bank; ``"forloop"``: one
+        dispatch per object — the reference's ablation baseline
+        (train.py:278-290), kept for like-for-like speedup measurement."""
         if not self.registry:
             return {}
+        if self.cfg.training_strategy == "forloop":
+            return self._train_frame_forloop()
         obj_tab, bg_tab = self._device_tables()
         obj_ids = jnp.asarray(self._slot_objid)
         t0 = time.perf_counter()
@@ -181,6 +187,44 @@ class Mapper:
         metrics = {k: v for k, v in metrics.items()}
         metrics["step_time_s"] = time.perf_counter() - t0
         return metrics
+
+    def _train_frame_forloop(self) -> dict:
+        """Sequential per-object training (ablation). Each active slot runs
+        the same jitted step on a capacity-1 view of the bank; the
+        background (if any) trains in the first call. Losses are additive
+        and parameters disjoint, so per-iteration updates match the
+        vectorised path up to RNG draws and the cross-object empty-batch
+        quirk."""
+        from vmap_tpu.core.step import StepStatics, make_frame_step
+        if self._forloop_step_fn is None:
+            st1 = StepStatics(**{**self.statics.__dict__, "do_bg": False})
+            self._forloop_step_fn = make_frame_step(st1)
+        t0 = time.perf_counter()
+        obj_tab, bg_tab = self._device_tables()
+        obj_ids = np.asarray(self._slot_objid)
+        take = lambda t, s: jax.tree.map(lambda a: a[s:s + 1], t)  # noqa: E731
+        put = lambda t, one, s: jax.tree.map(  # noqa: E731
+            lambda a, b: a.at[s].set(b[0]), t, one)
+        total_loss = 0.0
+        active = np.asarray(self.bank_obj.active)
+        for slot in np.nonzero(active)[0]:
+            one = take(self.bank_obj, int(slot))
+            tab1 = tuple(a[int(slot):int(slot) + 1] for a in obj_tab)
+            ids1 = jnp.asarray(obj_ids[int(slot):int(slot) + 1])
+            one, _, metrics = self._forloop_step_fn(
+                one, None, *self.pool.arrays(), tab1, ids1, tab1,
+                self.dirs_cache, self._next_key())
+            self.bank_obj = put(self.bank_obj, one, int(slot))
+            total_loss += float(metrics["loss"])
+        if self.cfg.do_bg and self.bank_bg is not None and bool(self.bank_bg.active[0]):
+            bg_ids = jnp.zeros((1,), jnp.int32)
+            bg, _, metrics = self._forloop_step_fn(
+                self.bank_bg, None, *self.pool.arrays(), bg_tab, bg_ids,
+                bg_tab, self.dirs_cache, self._next_key())
+            self.bank_bg = bg
+            total_loss += float(metrics["loss"])
+        return {"loss": total_loss,
+                "step_time_s": time.perf_counter() - t0}
 
     def process_frame(self, sample: FrameSample) -> dict:
         self.ingest_frame(sample)

@@ -26,6 +26,7 @@ class InstanceTrack:
     inst_id: int
     points: np.ndarray
     bbox3d: OrientedBox | None = None
+    class_id: int = -1
     merge_cnt: int = 0
     cmp_cnt: int = 0
 
@@ -114,6 +115,83 @@ def associate_frame(
                 inst_id=inst_id, points=pts_small, bbox3d=box)
 
         inst_out[mask] = inst_id
+        if diff_mask is not None:
+            inst_out[diff_mask] = -1
+    return inst_out
+
+
+def track_detections(
+    masks: list[np.ndarray],
+    class_ids: list[int],
+    depth: np.ndarray,
+    state: AssociationState,
+    fx: float, fy: float, cx: float, cy: float,
+    t_wc: np.ndarray,
+    iou_thresh: float = 0.5,
+    min_pixels: int = 2000,
+    voxel_size: float = 0.1,
+    min_extent: float = 0.05,
+    class_affinity=None,
+) -> np.ndarray:
+    """Detection-based tracking for streams WITHOUT temporally consistent
+    instance ids (live/detector input): assigns persistent ids by 3D
+    inside-ratio against remembered boxes of same-class (or
+    affinity-matched) tracks, creating new tracks otherwise.
+
+    Counterpart of the reference's ``track_instance`` (utils.py:274-382,
+    dormant there); ``class_affinity(c1, c2) -> bool`` generalises its
+    optional CLIP-feature semantic merging hook.
+
+    Returns the (W, H) instance map (0 background, -1 unsure).
+    """
+    inst_out = np.zeros(depth.shape, np.int32)
+    for mask, cls in zip(masks, class_ids):
+        small = _erode(mask)
+        if small.sum() <= min_pixels:
+            continue
+        pts_small = voxel_downsample(
+            unproject_depth(depth, fx, fy, cx, cy, t_wc=t_wc, mask=small),
+            voxel_size)
+        if len(pts_small) <= 10:
+            continue
+        pts = unproject_depth(depth, fx, fy, cx, cy, t_wc=t_wc, mask=mask)
+
+        def class_match(tc):
+            if class_affinity is not None:
+                return class_affinity(cls, tc)
+            return tc == cls
+
+        merged_id = None
+        diff_mask = None
+        for track in state.tracks.values():
+            if track.bbox3d is None or not class_match(track.class_id):
+                continue
+            track.cmp_cnt += 1
+            inside = track.bbox3d.contains(pts)
+            if inside.mean() > iou_thresh:
+                track.merge_cnt += 1
+                track.points = voxel_downsample(
+                    np.concatenate([track.points, pts[inside]]), voxel_size)
+                box = obb_from_points(track.points, min_extent=min_extent)
+                if box is not None:
+                    track.bbox3d = box
+                valid_px = mask & (depth > 0)
+                u, v = np.nonzero(valid_px)
+                diff_mask = np.zeros_like(mask)
+                diff_mask[u[~inside], v[~inside]] = True
+                merged_id = track.inst_id
+                break
+
+        if merged_id is None:
+            box = obb_from_points(pts_small, min_extent=min_extent)
+            if box is None:
+                continue
+            merged_id = max(state.tracks.keys(), default=0) + 1
+            t = InstanceTrack(inst_id=merged_id, points=pts_small, bbox3d=box)
+            t.class_id = cls
+            state.tracks[merged_id] = t
+
+        inst_out[mask] = merged_id
         if diff_mask is not None:
             inst_out[diff_mask] = -1
     return inst_out

@@ -64,6 +64,39 @@ def bbox_from_mask_batch(masks: np.ndarray):
     return u_min, u_max, v_min, v_max
 
 
+def order_overlapping_masks(masks: list[np.ndarray], depth: np.ndarray,
+                            obj_ids: list[int]) -> np.ndarray:
+    """Resolve overlapping instance masks into a single label map using
+    containment and mean depth (counterpart of the reference's
+    ``check_mask_order``, utils.py:217-254): a mask fully inside another is
+    in front; otherwise the mask with smaller mean depth wins the overlap.
+    Returns an int32 (W, H) instance map."""
+    assert len(masks) == len(obj_ids)
+    masks = [np.asarray(m, bool) for m in masks]
+    mod = [m.copy() for m in masks]
+    depth = np.asarray(depth)
+    for i in range(len(masks) - 1):
+        for j in range(i + 1, len(masks)):
+            inter = masks[i] & masks[j]
+            if not inter.any():
+                continue
+            if (inter == masks[i]).all():      # i fully inside j: i in front
+                mod[j] &= ~mod[i]
+            elif (inter == masks[j]).all():    # j fully inside i
+                mod[i] &= ~mod[j]
+            else:
+                di = depth[masks[i]].mean()
+                dj = depth[masks[j]].mean()
+                if di < dj:                    # i closer: i wins the overlap
+                    mod[j] &= ~inter
+                elif dj < di:
+                    mod[i] &= ~inter
+    out = np.zeros(depth.shape, np.int32)
+    for m, oid in zip(mod, obj_ids):
+        out[m] = oid
+    return out
+
+
 def enlarge_bbox(bbox, scale: float, w: int, h: int) -> list | None:
     """Grow a [u0, u1, v0, v1] bbox by ``scale/2`` of its size on each side,
     clipped to the image; degenerate boxes return None (utils.py:36-57)."""

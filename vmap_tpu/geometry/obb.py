@@ -74,7 +74,10 @@ class OrientedBox:
 
 def _min_area_rect_2d(pts: np.ndarray):
     """Rotating calipers on a 2D point set -> (area, angle, (w, h), center)."""
-    hull = ConvexHull(pts)
+    try:
+        hull = ConvexHull(pts)
+    except QhullError:
+        hull = ConvexHull(pts, qhull_options="QJ")
     hp = pts[hull.vertices]
     edges = np.diff(np.vstack([hp, hp[:1]]), axis=0)
     angles = np.unique(np.mod(np.arctan2(edges[:, 1], edges[:, 0]), np.pi / 2))
@@ -102,7 +105,14 @@ def oriented_bounds(points: np.ndarray):
     pts = np.asarray(points, np.float64).reshape(-1, 3)
     if len(pts) < 4:
         raise QhullError("need at least 4 points for a 3D hull")
-    hull3 = ConvexHull(pts)
+    try:
+        hull3 = ConvexHull(pts)
+    except QhullError:
+        # degenerate (coplanar/colinear) input: joggle to make it full-rank
+        # — produces a valid, hair-thin box instead of failing, which the
+        # min-extent floors downstream inflate (the reference's Open3D path
+        # hard-fails here and skips the object; robustness is preferable)
+        hull3 = ConvexHull(pts, qhull_options="QJ")
     hp = pts[hull3.vertices]
 
     best = None
