@@ -38,19 +38,33 @@ def _eval_chunk(pe, mlp_p, scale, pts, max_deg=5):
 
 
 def eval_points(pe, mlp_p, scale, points: np.ndarray, max_deg: int = 5,
-                chunk: int = EVAL_CHUNK):
+                chunk: int = EVAL_CHUNK, backend: str = "auto"):
     """(occupancy [N], color [N, 3]) for arbitrary many points; pads the
-    last chunk so the jitted kernel compiles once."""
+    last chunk so the jitted kernel compiles once.
+
+    ``backend``: "auto" uses the fused Pallas field kernel on TPU (1.8x the
+    XLA path at meshing scale, see kernels/ensemble.py) when the PE has the
+    standard 5-band layout; "xla" / "pallas" force a path.
+    """
     pts = np.asarray(points, np.float32).reshape(-1, 3)
     n = len(pts)
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and max_deg == 5
+        and jax.default_backend() == "tpu")
+    hidden = int(np.asarray(mlp_p["w_mid1"]).shape[-1])
     occs, cols = [], []
     for s in range(0, n, chunk):
         block = pts[s:s + chunk]
         pad = chunk - len(block)
         if pad:
             block = np.concatenate([block, np.zeros((pad, 3), np.float32)])
-        o, c = _eval_chunk(pe, mlp_p, jnp.float32(scale), jnp.asarray(block),
-                           max_deg)
+        if use_pallas:
+            from vmap_tpu.kernels.ensemble import fused_eval_single
+            o, c = fused_eval_single(pe, mlp_p, jnp.float32(scale),
+                                     jnp.asarray(block), hidden=hidden)
+        else:
+            o, c = _eval_chunk(pe, mlp_p, jnp.float32(scale),
+                               jnp.asarray(block), max_deg)
         occs.append(np.asarray(o)[:chunk - pad if pad else chunk])
         cols.append(np.asarray(c)[:chunk - pad if pad else chunk])
     return np.concatenate(occs), np.concatenate(cols)
