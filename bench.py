@@ -44,15 +44,9 @@ def build_workload(compute_dtype: str = "bfloat16"):
     )
 
     key = jax.random.PRNGKey(0)
+    # init_bank already gives every slot fresh per-key params
     bank_obj = init_bank(key, CAP, HIDDEN, 2.0)
-    # activate all slots in one scan-free pass (vmap the fresh init)
-    from vmap_tpu.ops.embedding import init_pe_params
-    from vmap_tpu.ops.mlp import init_mlp_params
-    keys = jax.random.split(key, CAP)
-    bank_obj = bank_obj.replace(
-        pe=jax.vmap(init_pe_params)(keys),
-        mlp=jax.vmap(lambda k: init_mlp_params(k, HIDDEN))(keys),
-        active=jnp.ones((CAP,), bool))
+    bank_obj = bank_obj.replace(active=jnp.ones((CAP,), bool))
     bank_bg = init_bank(jax.random.fold_in(key, 1), 1, HIDDEN_BG, 5.0)
     bank_bg = activate_slot(bank_bg, 0, jax.random.fold_in(key, 2), 5.0, HIDDEN_BG)
 

@@ -71,8 +71,8 @@ def test_full_checkpoint_resume(trained, tmp_path):
     np.testing.assert_allclose(np.asarray(m2.bank_obj.mlp["w_in"]),
                                np.asarray(m.bank_obj.mlp["w_in"]))
     # Adam moments restored (exact-resume capability)
-    np.testing.assert_allclose(np.asarray(m2.bank_obj.m_mlp["w_in"]),
-                               np.asarray(m.bank_obj.m_mlp["w_in"]))
+    np.testing.assert_allclose(np.asarray(m2.bank_obj.m),
+                               np.asarray(m.bank_obj.m))
     # pool content restored
     np.testing.assert_array_equal(np.asarray(m2.pool.depth),
                                   np.asarray(m.pool.depth))

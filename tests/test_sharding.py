@@ -27,11 +27,11 @@ def test_place_bank_shards_leading_axis():
     mesh = make_mesh(8)
     bank = init_bank(jax.random.PRNGKey(0), 8, hidden=8)
     sharded = place_bank(mesh, bank, "obj")
-    s = sharded.mlp["w_in"].sharding
+    s = sharded.flat.sharding
     assert s.spec[0] == "obj"
-    # each device holds 2 slots of 8
-    shard_shapes = {tuple(sh.data.shape) for sh in sharded.mlp["w_in"].addressable_shards}
-    assert shard_shapes == {(2, 8, 87)}
+    # each device holds 2 of 8 slots of the packed parameter buffer
+    shard_shapes = {tuple(sh.data.shape) for sh in sharded.flat.addressable_shards}
+    assert shard_shapes == {(2, bank.spec.n_params)}
 
 
 def test_dryrun_multichip_entrypoint():

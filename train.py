@@ -62,6 +62,8 @@ def main(argv=None):
 
     it = iter(PrefetchIterator(dataset))
     t_start = time.time()
+    pending: list = []
+    log_every = 25
     for frame_idx in range(n_frames):
         with timer("data"):
             try:
@@ -81,18 +83,24 @@ def main(argv=None):
         with timer("train"):
             metrics = mapper.train_frame()
 
-        loss = float(metrics.get("loss", float("nan")))
-        if loss > 1e5:
-            # the reference hard-exits here (render_rays.py:88-90); we log
-            # loudly and continue — a single bad batch shouldn't kill a run
-            print(f"WARNING: loss explosion at frame {frame_idx}: {loss:.3e}")
-        log_f.write(json.dumps({
-            "frame": frame_idx, "loss": loss,
-            "n_objects": mapper.n_objects,
-            "pool_used": mapper.pool.n_used,
-            "step_time_s": metrics.get("step_time_s"),
-        }) + "\n")
-        if frame_idx % 25 == 0:
+        # defer the device->host loss sync: float()-ing every frame would
+        # serialise dispatch with the TPU; keep the async handle and only
+        # materialise at the logging cadence
+        pending.append((frame_idx, metrics))
+        if frame_idx % log_every == log_every - 1 or frame_idx == n_frames - 1:
+            for fidx, met in pending:
+                loss = float(met.get("loss", float("nan")))
+                if loss > 1e5:
+                    # the reference hard-exits here (render_rays.py:88-90);
+                    # we log loudly and continue
+                    print(f"WARNING: loss explosion at frame {fidx}: {loss:.3e}")
+                log_f.write(json.dumps({
+                    "frame": fidx, "loss": loss,
+                    "n_objects": mapper.n_objects,
+                    "pool_used": mapper.pool.n_used,
+                    "step_time_s": met.get("step_time_s"),
+                }) + "\n")
+            pending.clear()
             fps = (frame_idx + 1 - start_frame) / max(time.time() - t_start, 1e-9)
             print(f"frame {frame_idx}/{n_frames} loss={loss:.3f} "
                   f"objs={mapper.n_objects} pool={mapper.pool.n_used} "

@@ -1,4 +1,4 @@
-"""Fixed-capacity stacked object bank + masked AdamW.
+"""Fixed-capacity stacked object bank + masked AdamW (flat storage).
 
 This replaces the reference's functorch ensemble dance: instead of
 re-stacking per-object nn.Modules into fresh tensors every time an object
@@ -9,16 +9,25 @@ all object fields live from the start in ``[capacity, ...]`` arrays with an
 and Adam moments persist (the reference silently resets moments for the
 whole ensemble on every new object).
 
-AdamW follows torch.optim.AdamW semantics (decoupled decay applied as
-``p *= 1 - lr*wd`` before the Adam step, betas (0.9, 0.999), eps 1e-8,
-per-slot bias-correction step counts) so training dynamics match the
-reference optimiser (train.py:67: AdamW(lr=1e-3, weight_decay=0.013)).
-Inactive slots receive exactly zero update (no decay, no moment drift).
+Storage is FLAT: every per-object parameter (PE projection + 7 MLP layers)
+packs into one ``[capacity, n_params]`` buffer, with Adam moments as two
+more. Rationale: per-dispatch host overhead on TPU scales with the number
+of donated buffers (~1.45 ms for 200 donated leaves vs 0.16 ms undonated on
+the measured v5e frontend), and a dict-of-leaves bank costs ~160 donated
+arrays per training step. Flat banks cut that to 6 per bank. ``BankSpec``
+holds the static layout and (un)flattens to the standard dict pytrees the
+ops layer consumes — pure reshape/slice, free under jit.
+
+AdamW follows torch.optim.AdamW semantics (decoupled decay ``p *= 1-lr*wd``
+before the Adam step, betas (0.9, 0.999), eps 1e-8, per-slot bias-correction
+step counts), matching the reference optimiser (train.py:67). Inactive
+slots receive exactly zero update (no decay, no moment drift).
 """
 
 from __future__ import annotations
 
-from functools import partial
+from dataclasses import dataclass
+from functools import lru_cache, partial
 
 import flax.struct
 import jax
@@ -27,100 +36,139 @@ import jax.numpy as jnp
 from vmap_tpu.ops import embedding, mlp
 
 
+@dataclass(frozen=True)
+class BankSpec:
+    """Static layout of one object's parameters inside the flat buffer."""
+    hidden: int
+    names: tuple  # ((group, name, shape, offset, size), ...)
+    n_params: int
+
+    @staticmethod
+    @lru_cache(maxsize=8)
+    def create(hidden: int) -> "BankSpec":
+        pe = embedding.init_pe_params()
+        mlp_p = mlp.init_mlp_params(jax.random.PRNGKey(0), hidden)
+        entries = []
+        off = 0
+        for group, tree in (("pe", pe), ("mlp", mlp_p)):
+            for name in sorted(tree):
+                shape = tuple(tree[name].shape)
+                size = 1
+                for s in shape:
+                    size *= s
+                entries.append((group, name, shape, off, size))
+                off += size
+        return BankSpec(hidden=hidden, names=tuple(entries), n_params=off)
+
+    def flatten(self, pe: dict, mlp_p: dict) -> jax.Array:
+        """Single object's (pe, mlp) dicts -> [n_params] vector."""
+        groups = {"pe": pe, "mlp": mlp_p}
+        parts = [groups[g][n].reshape(-1) for g, n, _, _, _ in self.names]
+        return jnp.concatenate(parts)
+
+    def unflatten(self, flat: jax.Array) -> tuple[dict, dict]:
+        """[..., n_params] -> (pe, mlp) dicts with leading axes kept."""
+        lead = flat.shape[:-1]
+        pe, mlp_p = {}, {}
+        for g, n, shape, off, size in self.names:
+            leaf = flat[..., off:off + size].reshape(*lead, *shape)
+            (pe if g == "pe" else mlp_p)[n] = leaf
+        return pe, mlp_p
+
+
 @flax.struct.dataclass
 class BankState:
-    """Stacked per-object state. Every leaf has leading dim = capacity."""
-    pe: dict          # positional-encoding params (trainable dirs)
-    mlp: dict         # occupancy MLP params
-    m_pe: dict        # Adam first moments
-    v_pe: dict        # Adam second moments
-    m_mlp: dict
-    v_mlp: dict
-    step: jax.Array   # [capacity] int32, per-slot Adam step count
+    """Stacked per-object state; 6 device buffers total."""
+    flat: jax.Array    # [capacity, n_params] parameters
+    m: jax.Array       # [capacity, n_params] Adam first moments
+    v: jax.Array       # [capacity, n_params] Adam second moments
+    step: jax.Array    # [capacity] int32 per-slot Adam step count
     active: jax.Array  # [capacity] bool
-    scale: jax.Array  # [capacity] f32, PE coordinate scale per slot
+    scale: jax.Array   # [capacity] f32 PE coordinate scale per slot
+    spec: BankSpec = flax.struct.field(pytree_node=False)
 
     @property
     def capacity(self) -> int:
         return self.active.shape[0]
 
+    # dict-pytree views (free reshapes at trace time)
+    @property
+    def pe(self) -> dict:
+        return self.spec.unflatten(self.flat)[0]
+
+    @property
+    def mlp(self) -> dict:
+        return self.spec.unflatten(self.flat)[1]
+
+    def params_for(self, slot) -> tuple[dict, dict]:
+        return self.spec.unflatten(self.flat[slot])
+
+
+def _fresh_flat(key: jax.Array, spec: BankSpec) -> jax.Array:
+    pe = embedding.init_pe_params(key)
+    mlp_p = mlp.init_mlp_params(key, spec.hidden)
+    return spec.flatten(pe, mlp_p)
+
 
 def init_bank(key: jax.Array, capacity: int, hidden: int,
               default_scale: float = 2.0) -> BankState:
+    spec = BankSpec.create(hidden)
     keys = jax.random.split(key, capacity)
-    stacked_mlp = jax.vmap(lambda k: mlp.init_mlp_params(k, hidden))(keys)
-    stacked_pe = jax.vmap(lambda k: embedding.init_pe_params(k))(keys)
-    zeros_like = lambda t: jax.tree.map(jnp.zeros_like, t)  # noqa: E731
+    flat = jax.vmap(lambda k: _fresh_flat(k, spec))(keys)
     return BankState(
-        pe=stacked_pe,
-        mlp=stacked_mlp,
-        m_pe=zeros_like(stacked_pe), v_pe=zeros_like(stacked_pe),
-        m_mlp=zeros_like(stacked_mlp), v_mlp=zeros_like(stacked_mlp),
+        flat=flat,
+        m=jnp.zeros_like(flat), v=jnp.zeros_like(flat),
         step=jnp.zeros((capacity,), jnp.int32),
         active=jnp.zeros((capacity,), bool),
         scale=jnp.full((capacity,), default_scale, jnp.float32),
+        spec=spec,
     )
 
 
 def activate_slot(bank: BankState, slot: jax.Array | int, key: jax.Array,
-                  scale: jax.Array | float, hidden: int) -> BankState:
+                  scale: jax.Array | float, hidden: int | None = None) -> BankState:
     """Activate ``slot`` with freshly initialised params (jit-safe)."""
-    fresh_mlp = mlp.init_mlp_params(key, hidden)
-    fresh_pe = embedding.init_pe_params(key)
-    set_at = lambda bank_t, fresh_t: jax.tree.map(  # noqa: E731
-        lambda b, f: b.at[slot].set(f.astype(b.dtype)), bank_t, fresh_t)
-    zero_at = lambda t: jax.tree.map(lambda b: b.at[slot].set(0), t)  # noqa: E731
+    fresh = _fresh_flat(key, bank.spec)
     return bank.replace(
-        pe=set_at(bank.pe, fresh_pe),
-        mlp=set_at(bank.mlp, fresh_mlp),
-        m_pe=zero_at(bank.m_pe), v_pe=zero_at(bank.v_pe),
-        m_mlp=zero_at(bank.m_mlp), v_mlp=zero_at(bank.v_mlp),
+        flat=bank.flat.at[slot].set(fresh),
+        m=bank.m.at[slot].set(0.0),
+        v=bank.v.at[slot].set(0.0),
         step=bank.step.at[slot].set(0),
         active=bank.active.at[slot].set(True),
         scale=bank.scale.at[slot].set(scale),
     )
 
 
-def _bcast(v: jax.Array, leaf: jax.Array) -> jax.Array:
-    """Broadcast a [capacity] vector against a [capacity, ...] leaf."""
-    return v.reshape(v.shape + (1,) * (leaf.ndim - 1))
+def set_slot_params(bank: BankState, slot, pe: dict, mlp_p: dict) -> BankState:
+    """Overwrite one slot's parameters from dict pytrees (checkpoint load)."""
+    fresh = bank.spec.flatten(
+        {k: jnp.asarray(v) for k, v in pe.items()},
+        {k: jnp.asarray(v) for k, v in mlp_p.items()})
+    return bank.replace(flat=bank.flat.at[slot].set(fresh))
 
 
-def _adamw_tree(params: dict, grads: dict, m: dict, v: dict,
-                active: jax.Array, t: jax.Array,
-                lr: float, wd: float,
-                b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
-    """Masked AdamW over one stacked pytree; returns (params, m, v)."""
-    new_p, new_m, new_v = {}, {}, {}
-    for name, p in params.items():
-        g = grads[name]
-        act = _bcast(active, p)
-        tb = _bcast(t, p).astype(p.dtype)
-        mn = b1 * m[name] + (1 - b1) * g
-        vn = b2 * v[name] + (1 - b2) * g * g
-        mhat = mn / (1 - b1 ** tb)
-        vhat = vn / (1 - b2 ** tb)
-        pn = p * (1 - lr * wd) - lr * mhat / (jnp.sqrt(vhat) + eps)
-        new_p[name] = jnp.where(act, pn, p)
-        new_m[name] = jnp.where(act, mn, m[name])
-        new_v[name] = jnp.where(act, vn, v[name])
-    return new_p, new_m, new_v
+def apply_adamw(bank: BankState, grads_flat: jax.Array, lr: float, wd: float,
+                b1: float = 0.9, b2: float = 0.999,
+                eps: float = 1e-8) -> BankState:
+    """Masked AdamW on the flat buffers (composable inside a jitted step)."""
+    t = jnp.where(bank.active, bank.step + 1, bank.step)
+    tb = jnp.maximum(t, 1).astype(bank.flat.dtype)[:, None]
+    act = bank.active[:, None]
+    g = grads_flat
+    mn = b1 * bank.m + (1 - b1) * g
+    vn = b2 * bank.v + (1 - b2) * g * g
+    mhat = mn / (1 - b1 ** tb)
+    vhat = vn / (1 - b2 ** tb)
+    pn = bank.flat * (1 - lr * wd) - lr * mhat / (jnp.sqrt(vhat) + eps)
+    return bank.replace(
+        flat=jnp.where(act, pn, bank.flat),
+        m=jnp.where(act, mn, bank.m),
+        v=jnp.where(act, vn, bank.v),
+        step=t,
+    )
 
 
 @partial(jax.jit, donate_argnums=(0,), static_argnames=("lr", "wd"))
-def adamw_update(bank: BankState, grads_pe: dict, grads_mlp: dict,
+def adamw_update(bank: BankState, grads_flat: jax.Array,
                  lr: float, wd: float) -> BankState:
-    return apply_adamw(bank, grads_pe, grads_mlp, lr, wd)
-
-
-def apply_adamw(bank: BankState, grads_pe: dict, grads_mlp: dict,
-                lr: float, wd: float) -> BankState:
-    """Non-jitted body (composable inside a larger jitted step)."""
-    t = jnp.where(bank.active, bank.step + 1, bank.step)
-    t_safe = jnp.maximum(t, 1)
-    pe, m_pe, v_pe = _adamw_tree(bank.pe, grads_pe, bank.m_pe, bank.v_pe,
-                                 bank.active, t_safe, lr, wd)
-    mlp_p, m_mlp, v_mlp = _adamw_tree(bank.mlp, grads_mlp, bank.m_mlp,
-                                      bank.v_mlp, bank.active, t_safe, lr, wd)
-    return bank.replace(pe=pe, mlp=mlp_p, m_pe=m_pe, v_pe=v_pe,
-                        m_mlp=m_mlp, v_mlp=v_mlp, step=t)
+    return apply_adamw(bank, grads_flat, lr, wd)

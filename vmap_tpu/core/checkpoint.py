@@ -66,16 +66,13 @@ def load_object_checkpoint(file: str) -> dict:
 def restore_object_into_mapper(mapper, ckpt: dict) -> None:
     """Write a loaded per-object checkpoint into the mapper's bank slot
     (counterpart of load_checkpoints, vmap.py:478-491)."""
-    import jax.numpy as jnp
+    from vmap_tpu.core.bank import set_slot_params
     obj_id = ckpt["obj_id"]
     rec = mapper.registry[obj_id]
     bank = mapper.bank_bg if rec.is_bg else mapper.bank_obj
-    new_mlp = {k: bank.mlp[k].at[rec.slot].set(jnp.asarray(v))
-               for k, v in ckpt["mlp"].items()}
-    new_pe = {k: bank.pe[k].at[rec.slot].set(jnp.asarray(v))
-              for k, v in ckpt["pe"].items()}
-    new_scale = bank.scale.at[rec.slot].set(ckpt["obj_scale"])
-    new_bank = bank.replace(mlp=new_mlp, pe=new_pe, scale=new_scale)
+    new_bank = set_slot_params(bank, rec.slot, ckpt["pe"], ckpt["mlp"])
+    new_bank = new_bank.replace(
+        scale=new_bank.scale.at[rec.slot].set(ckpt["obj_scale"]))
     if rec.is_bg:
         mapper.bank_bg = new_bank
     else:

@@ -243,8 +243,8 @@ class Mapper:
         used by meshing/checkpointing."""
         rec = self.registry[obj_id]
         b = self.bank_bg if rec.is_bg else self.bank_obj
-        take = lambda t: jax.tree.map(lambda a: a[rec.slot], t)  # noqa: E731
-        return take(b.pe), take(b.mlp), float(b.scale[rec.slot])
+        pe, mlp_p = b.params_for(rec.slot)
+        return pe, mlp_p, float(b.scale[rec.slot])
 
     # ---- meshing / bounds (trainer.meshing + get_bound counterparts) --- #
     def get_bound(self, obj_id: int, stride: int = 4):

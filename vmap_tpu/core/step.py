@@ -136,9 +136,11 @@ def _sample_bank(key, pool_rgb, pool_depth, pool_inst, pool_twc, dirs_cache,
     }
 
 
-def _bank_forward(pe, mlp_p, scale, pts, st: StepStatics):
-    """PE + ensemble MLP over [cap, rays, samples, 3] points."""
+def _bank_forward(flat, spec, scale, pts, st: StepStatics):
+    """PE + ensemble MLP over [cap, rays, samples, 3] points; ``flat`` is
+    the bank's packed parameter buffer (grads flow through it)."""
     cdtype = jnp.bfloat16 if st.compute_dtype == "bfloat16" else None
+    pe, mlp_p = spec.unflatten(flat)
     emb = jax.vmap(lambda p, x, s: embed(p, x, s, st.max_deg))(pe, pts, scale)
     alpha, color = jax.vmap(
         lambda p, e: mlp_apply(p, e, emb1=st.emb1, compute_dtype=cdtype))(mlp_p, emb)
@@ -150,8 +152,8 @@ def _slice_iter(batch: dict, it: jax.Array, n_per: int) -> dict:
             for k, v in batch.items()}
 
 
-def _bank_loss(pe, mlp_p, scale, active, sl, st: StepStatics):
-    alpha, color = _bank_forward(pe, mlp_p, scale, sl["pts"], st)
+def _bank_loss(flat, spec, scale, active, sl, st: StepStatics):
+    alpha, color = _bank_forward(flat, spec, scale, sl["pts"], st)
     return L.step_batch_loss(
         alpha, color, sl["depth"], sl["rgb"], sl["state"], sl["valid"],
         sl["z"], active, st.color_scaling, st.opacity_scaling)
@@ -198,25 +200,25 @@ def make_frame_step(st: StepStatics):
             if st.do_bg:
                 sl_bg = _slice_iter(batch_bg, it, n_per_bg)
 
-                def loss_fn(pe_o, mlp_o, pe_b, mlp_b):
-                    lo, _ = _bank_loss(pe_o, mlp_o, b_obj.scale, b_obj.active, sl, st)
-                    lb, _ = _bank_loss(pe_b, mlp_b, b_bg.scale, b_bg.active, sl_bg, st)
-                    return lo + lb, (lo, lb)
+                def loss_fn(flat_o, flat_b):
+                    lo, _ = _bank_loss(flat_o, b_obj.spec, b_obj.scale,
+                                       b_obj.active, sl, st)
+                    lb, _ = _bank_loss(flat_b, b_bg.spec, b_bg.scale,
+                                       b_bg.active, sl_bg, st)
+                    return lo + lb
 
-                (loss, (lo, lb)), grads = jax.value_and_grad(
-                    loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(
-                        b_obj.pe, b_obj.mlp, b_bg.pe, b_bg.mlp)
-                g_pe_o, g_mlp_o, g_pe_b, g_mlp_b = grads
-                b_obj = apply_adamw(b_obj, g_pe_o, g_mlp_o, st.lr, st.wd)
-                b_bg = apply_adamw(b_bg, g_pe_b, g_mlp_b, st.lr, st.wd)
+                loss, (g_o, g_b) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1))(b_obj.flat, b_bg.flat)
+                b_obj = apply_adamw(b_obj, g_o, st.lr, st.wd)
+                b_bg = apply_adamw(b_bg, g_b, st.lr, st.wd)
             else:
-                def loss_fn(pe_o, mlp_o):
-                    lo, _ = _bank_loss(pe_o, mlp_o, b_obj.scale, b_obj.active, sl, st)
-                    return lo, lo
+                def loss_fn(flat_o):
+                    lo, _ = _bank_loss(flat_o, b_obj.spec, b_obj.scale,
+                                       b_obj.active, sl, st)
+                    return lo
 
-                (loss, lo), grads = jax.value_and_grad(
-                    loss_fn, argnums=(0, 1), has_aux=True)(b_obj.pe, b_obj.mlp)
-                b_obj = apply_adamw(b_obj, grads[0], grads[1], st.lr, st.wd)
+                loss, g_o = jax.value_and_grad(loss_fn)(b_obj.flat)
+                b_obj = apply_adamw(b_obj, g_o, st.lr, st.wd)
             return (b_obj, b_bg), loss
 
         (bank_obj, bank_bg), losses = jax.lax.scan(

@@ -223,6 +223,14 @@ def load_mesh(path: str) -> Mesh:
     raise ValueError(f"unsupported mesh format: {path}")
 
 
+def load_ply_with_face_props(path: str) -> tuple[Mesh, dict]:
+    """PLY load that also returns scalar per-face properties (e.g. the
+    ``object_id`` carried by Replica's mesh_semantic.ply) as
+    {name: [n_faces] array}. Polygon faces are fan-triangulated and their
+    properties replicated per output triangle."""
+    return _load_ply(path, want_face_props=True)
+
+
 def _load_obj(path: str) -> Mesh:
     vs, fs, cs = [], [], []
     with open(path) as f:
@@ -248,7 +256,7 @@ _PLY_TYPES = {
 }
 
 
-def _load_ply(path: str) -> Mesh:
+def _load_ply(path: str, want_face_props: bool = False):
     """Minimal PLY reader: ascii and binary_little_endian, vertex xyz
     (+rgb) and triangular/polygonal faces."""
     with open(path, "rb") as f:
@@ -279,6 +287,7 @@ def _load_ply(path: str) -> Mesh:
                                         False, None, None))
 
     verts = faces = colors = None
+    face_props: dict = {}
     if fmt == "ascii":
         tokens = body.split()
         pos = 0
@@ -294,7 +303,9 @@ def _load_ply(path: str) -> Mesh:
                     else:
                         row.append(float(tokens[pos])); pos += 1
                 rows.append(row)
-            verts, faces, colors = _ply_collect(name, props, rows, verts, faces, colors)
+            verts, faces, colors = _ply_collect(name, props, rows, verts,
+                                                faces, colors,
+                                                face_props=face_props)
     elif fmt == "binary_little_endian":
         off = 0
         for name, count, props in elements:
@@ -323,16 +334,22 @@ def _load_ply(path: str) -> Mesh:
                             off += idt.itemsize
                     rows.append(row)
                 verts, faces, colors = _ply_collect(name, props, rows, verts,
-                                                    faces, colors)
+                                                    faces, colors,
+                                                    face_props=face_props)
     else:
         raise ValueError(f"unsupported PLY format: {fmt}")
     if verts is None:
         raise ValueError("PLY has no vertex element")
-    return Mesh(verts, faces if faces is not None else np.zeros((0, 3), np.int64),
+    mesh = Mesh(verts,
+                faces if faces is not None else np.zeros((0, 3), np.int64),
                 colors)
+    if want_face_props:
+        return mesh, face_props
+    return mesh
 
 
-def _ply_collect(name, props, rows, verts, faces, colors, structured=False):
+def _ply_collect(name, props, rows, verts, faces, colors, structured=False,
+                 face_props=None):
     names = [p[0] for p in props]
     if name == "vertex":
         if structured:
@@ -349,10 +366,18 @@ def _ply_collect(name, props, rows, verts, faces, colors, structured=False):
                                   np.uint8)
     elif name == "face":
         li = next(i for i, p in enumerate(props) if p[2])
+        scalar_idx = [(i, p[0]) for i, p in enumerate(props) if not p[2]]
         tri = []
+        extra = {pname: [] for _, pname in scalar_idx}
         for r in rows:
             idx = [int(x) for x in r[li]]
+            n_tris = max(len(idx) - 2, 0)
             for k in range(1, len(idx) - 1):
                 tri.append([idx[0], idx[k], idx[k + 1]])
+            for i, pname in scalar_idx:
+                extra[pname].extend([r[i]] * n_tris)
         faces = np.asarray(tri, np.int64) if tri else np.zeros((0, 3), np.int64)
+        if face_props is not None:
+            for pname, vals in extra.items():
+                face_props[pname] = np.asarray(vals)
     return verts, faces, colors
