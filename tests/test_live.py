@@ -63,7 +63,7 @@ def test_run_live_trains_while_idle(tmp_path):
     t = threading.Thread(target=producer)
     t.start()
     stats = run_live(m, q, keep_alive=0.01, mesh_dir=str(tmp_path),
-                     max_ticks=400)
+                     max_ticks=400, min_tick_s=0.002)
     t.join()
     assert stats.frames_ingested >= 1
     assert stats.ticks > stats.frames_ingested   # idle ticks still trained

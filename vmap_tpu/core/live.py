@@ -98,6 +98,12 @@ def run_live(
             if source.closed:
                 break
             stats.idle_ticks += 1
+            if not mapper.registry:
+                # nothing to refine yet: don't busy-spin waiting for the
+                # first frame
+                stats.ticks += 1
+                time.sleep(0.002)
+                continue
 
         if mapper.registry:
             metrics = mapper.train_frame()
