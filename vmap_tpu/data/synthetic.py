@@ -148,6 +148,17 @@ class SyntheticScene:
         rgb[~hit] = 0
         return rgb, depth, inst, T
 
+    def gt_meshes(self, floor_extent: float = 4.0) -> dict:
+        """Analytic ground-truth meshes per instance id (0 = floor patch
+        around the scene, limited to roughly the observed area)."""
+        from vmap_tpu.geometry.primitives import box, icosphere, plane_patch
+        return {
+            0: plane_patch([0.0, self.floor_y, 0.0], [0.0, -1.0, 0.0],
+                           floor_extent, floor_extent),
+            self.SPHERE_ID: icosphere(self.sphere_radius, self.sphere_center),
+            self.BOX_ID: box(self.box_min, self.box_max),
+        }
+
     def frame_sample(self, frame_id: int, n_frames: int = 64,
                      bbox_scale: float = 0.2):
         """Full ingest-ready sample with bbox_dict (background bbox covers
