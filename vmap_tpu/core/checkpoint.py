@@ -119,10 +119,92 @@ def save_full_checkpoint(mapper, path: str, frame_id: int) -> str:
     return file
 
 
+def save_full_checkpoint_orbax(mapper, path: str, frame_id: int) -> str:
+    """Orbax-backed variant of the full-state checkpoint: device arrays go
+    through orbax's StandardSave (async-capable, atomic-rename layout) while
+    host bookkeeping (tables, registry, pool accounting) rides alongside as
+    a pickle. Interchangeable with the pickle backend via
+    ``load_full_checkpoint`` dispatch."""
+    import orbax.checkpoint as ocp
+    os.makedirs(path, exist_ok=True)
+    ckpt_dir = os.path.abspath(os.path.join(path, f"orbax_frame_{frame_id}"))
+    arrays = {
+        "bank_obj": dict(vars_of_bank(mapper.bank_obj)),
+        "bank_bg": (None if mapper.bank_bg is None
+                    else dict(vars_of_bank(mapper.bank_bg))),
+        "pool_rgb": mapper.pool.rgb, "pool_depth": mapper.pool.depth,
+        "pool_inst": mapper.pool.inst, "pool_twc": mapper.pool.twc,
+        "key": mapper.key,
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(ckpt_dir, arrays, force=True)
+    host = {
+        "frame_id": frame_id,
+        "obj_table": mapper.obj_table, "bg_table": mapper.bg_table,
+        "registry": mapper.registry, "slot_objid": mapper._slot_objid,
+        "next_slot": mapper._next_slot,
+        "frames_ingested": mapper.frames_ingested,
+        "pool_refcount": mapper.pool.refcount,
+        "pool_frame_id": mapper.pool.frame_id,
+        "pool_write_seq": mapper.pool.write_seq, "pool_seq": mapper.pool._seq,
+        "bank_obj_meta": bank_meta(mapper.bank_obj),
+        "bank_bg_meta": bank_meta(mapper.bank_bg),
+    }
+    with open(os.path.join(ckpt_dir, "host_state.pkl"), "wb") as f:
+        pickle.dump(host, f)
+    with open(os.path.join(path, "latest.json"), "w") as f:
+        json.dump({"frame_id": frame_id, "file": ckpt_dir,
+                   "backend": "orbax"}, f)
+    return ckpt_dir
+
+
+def vars_of_bank(bank: BankState) -> dict:
+    return {"flat": bank.flat, "m": bank.m, "v": bank.v,
+            "step": bank.step, "active": bank.active, "scale": bank.scale}
+
+
+def bank_meta(bank: BankState | None):
+    return None if bank is None else bank.spec
+
+
+def load_full_checkpoint_orbax(mapper, ckpt_dir: str) -> int:
+    import orbax.checkpoint as ocp
+    with open(os.path.join(ckpt_dir, "host_state.pkl"), "rb") as f:
+        host = pickle.load(f)
+    with ocp.StandardCheckpointer() as ckptr:
+        arrays = ckptr.restore(os.path.abspath(ckpt_dir))
+    mapper.bank_obj = BankState(spec=host["bank_obj_meta"],
+                                **arrays["bank_obj"])
+    mapper.bank_bg = (None if arrays["bank_bg"] is None
+                      else BankState(spec=host["bank_bg_meta"],
+                                     **arrays["bank_bg"]))
+    mapper.pool.rgb = arrays["pool_rgb"]
+    mapper.pool.depth = arrays["pool_depth"]
+    mapper.pool.inst = arrays["pool_inst"]
+    mapper.pool.twc = arrays["pool_twc"]
+    mapper.key = arrays["key"]
+    mapper.pool.refcount = host["pool_refcount"]
+    mapper.pool.frame_id = host["pool_frame_id"]
+    mapper.pool.write_seq = host["pool_write_seq"]
+    mapper.pool._seq = host["pool_seq"]
+    mapper.obj_table = host["obj_table"]
+    mapper.bg_table = host["bg_table"]
+    mapper.obj_table.mark_dirty()
+    mapper.bg_table.mark_dirty()
+    mapper.registry = host["registry"]
+    mapper._slot_objid = host["slot_objid"]
+    mapper._next_slot = host["next_slot"]
+    mapper.frames_ingested = host["frames_ingested"]
+    return int(host["frame_id"])
+
+
 def load_full_checkpoint(mapper, file: str) -> int:
     """Restore a full-state checkpoint into ``mapper``; returns the frame id
-    at which to resume."""
+    at which to resume. Dispatches on backend: an orbax checkpoint
+    directory or a pickle file."""
     import jax.numpy as jnp
+    if os.path.isdir(file):
+        return load_full_checkpoint_orbax(mapper, file)
     with open(file, "rb") as f:
         state = pickle.load(f)
     to_dev = lambda t: jax.tree.map(jnp.asarray, t)  # noqa: E731
