@@ -112,6 +112,16 @@ class ObjectKF:
             q = [0] + q
         return q
 
+    def replace_ref(self, local: int, new_pool_slot: int) -> int:
+        """Re-point one local keyframe at a different pool frame (forced
+        release under pool pressure). Returns the evicted pool slot."""
+        old = self.pool_slot[local]
+        self.pool_slot[local] = new_pool_slot
+        return old
+
+    def newest_pool_slot(self) -> int:
+        return self.pool_slot[self.order[-1]]
+
     def all_slots(self) -> list[tuple[int, int]]:
         """(local, pool) for every physical slot (used for bounds/meshing)."""
         return list(enumerate(self.pool_slot))

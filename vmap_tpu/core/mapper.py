@@ -126,12 +126,44 @@ class Mapper:
         self.registry[obj_id] = rec
         return rec
 
+    def _force_release_pool_slot(self) -> bool:
+        """Pool pressure valve: drop the oldest-written referenced frame by
+        re-pointing every keyframe that uses it at its object's newest frame
+        (graceful degradation instead of aborting a long run). Returns
+        whether a slot was freed."""
+        ref = np.nonzero(self.pool.refcount > 0)[0]
+        if ref.size == 0:
+            return False
+        victim = int(ref[np.argmin(self.pool.write_seq[ref])])
+        released = 0
+        for table in (self.obj_table, self.bg_table):
+            for t in table.objects.values():
+                newest = t.newest_pool_slot()
+                for local, ps in list(enumerate(t.pool_slot)):
+                    if ps == victim and newest != victim:
+                        t.replace_ref(local, newest)
+                        self.pool.incref(newest)
+                        self.pool.decref(victim)
+                        released += 1
+            table.mark_dirty()
+        if self.pool.refcount[victim] > 0:
+            return False  # victim was every holder's newest frame
+        self.pool_force_released = getattr(self, "pool_force_released", 0) + 1
+        return True
+
     def ingest_frame(self, sample: FrameSample) -> None:
         cfg = self.cfg
         depth_mm = np.clip(np.round(sample.depth * 1000.0), 0, 65535).astype(np.uint16)
         inst = np.asarray(sample.inst).astype(np.int16)
 
-        pool_slot = self.pool.allocate(sample.frame_id)
+        try:
+            pool_slot = self.pool.allocate(sample.frame_id)
+        except RuntimeError:
+            if not self._force_release_pool_slot():
+                raise
+            print("WARNING: frame pool full — forced release of the oldest "
+                  "referenced frame (raise tpu.frame_pool_size to avoid)")
+            pool_slot = self.pool.allocate(sample.frame_id)
         self.pool.write(pool_slot, sample.image, depth_mm, inst, sample.t_wc)
 
         for obj_id, bbox in sample.bbox_dict.items():
