@@ -23,7 +23,7 @@ _tried = False
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
            "-o", _SO, _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)

@@ -13,6 +13,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <cmath>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -76,37 +77,20 @@ struct KeyHash {
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-// Returns 0 on success, 1 on empty level set. Outputs are malloc'd; free
-// with mt_free.
-int mt_marching_tetrahedra(const float* vol, int64_t nx, int64_t ny, int64_t nz,
-                           float level,
-                           float** out_verts, int64_t* out_n_verts,
-                           int64_t** out_faces, int64_t* out_n_faces) {
-    static CaseEntry cases[16];
-    static bool init = false;
-    if (!init) {
-        for (int c = 0; c < 16; ++c) cases[c] = make_case(c);
-        init = true;
-    }
-
-    std::vector<float> verts;
-    std::vector<int64_t> faces;
-    std::unordered_map<Key, int64_t, KeyHash> weld;
-    weld.reserve(1 << 16);
-
+// Emit the triangle soup (9 floats per wound triangle) for x in [x0, x1).
+void slab_worker(const float* vol, int64_t nx, int64_t ny, int64_t nz,
+                 float level, int64_t x0, int64_t x1,
+                 const CaseEntry* cases, std::vector<float>* soup) {
     const int64_t sy = nz;          // stride for y in a [x][y][z] C layout
     const int64_t sx = ny * nz;
-
     float cpos[8][3];
     float cval[8];
 
-    for (int64_t x = 0; x + 1 < nx; ++x) {
+    for (int64_t x = x0; x < x1 && x + 1 < nx; ++x) {
         for (int64_t y = 0; y + 1 < ny; ++y) {
-            const float* col0 = vol + x * sx + y * sy;
             for (int64_t z = 0; z + 1 < nz; ++z) {
-                // fast reject: all 8 corners on one side
                 bool any_in = false, any_out = false;
                 for (int c = 0; c < 8; ++c) {
                     const float v = vol[(x + CORNERS[c][0]) * sx +
@@ -115,7 +99,6 @@ int mt_marching_tetrahedra(const float* vol, int64_t nx, int64_t ny, int64_t nz,
                     cval[c] = v;
                     if (v > level) any_in = true; else any_out = true;
                 }
-                (void)col0;
                 if (!any_in || !any_out) continue;
                 for (int c = 0; c < 8; ++c) {
                     cpos[c][0] = (float)(x + CORNERS[c][0]);
@@ -156,32 +139,93 @@ int mt_marching_tetrahedra(const float* vol, int64_t nx, int64_t ny, int64_t nz,
                                         + n[2] * anchor[2];
                         int order[3] = {0, 1, 2};
                         if (dot < 0) { order[1] = 2; order[2] = 1; }
-
-                        int64_t idx[3];
                         for (int e = 0; e < 3; ++e) {
                             const float* pp = p[order[e]];
-                            Key key{(int64_t)llroundf(pp[0] * 1024.f),
-                                    (int64_t)llroundf(pp[1] * 1024.f),
-                                    (int64_t)llroundf(pp[2] * 1024.f)};
-                            auto it = weld.find(key);
-                            if (it == weld.end()) {
-                                const int64_t vid = (int64_t)(verts.size() / 3);
-                                weld.emplace(key, vid);
-                                verts.push_back(pp[0]);
-                                verts.push_back(pp[1]);
-                                verts.push_back(pp[2]);
-                                idx[e] = vid;
-                            } else {
-                                idx[e] = it->second;
-                            }
-                        }
-                        if (idx[0] != idx[1] && idx[1] != idx[2] && idx[0] != idx[2]) {
-                            faces.push_back(idx[0]);
-                            faces.push_back(idx[1]);
-                            faces.push_back(idx[2]);
+                            soup->push_back(pp[0]);
+                            soup->push_back(pp[1]);
+                            soup->push_back(pp[2]);
                         }
                     }
                 }
+            }
+        }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success, 1 on empty level set. Outputs are malloc'd; free
+// with mt_free. Extraction parallelises over x-slabs (std::thread); vertex
+// welding is a serial hash pass over the merged soup.
+int mt_marching_tetrahedra(const float* vol, int64_t nx, int64_t ny, int64_t nz,
+                           float level,
+                           float** out_verts, int64_t* out_n_verts,
+                           int64_t** out_faces, int64_t* out_n_faces) {
+    static CaseEntry cases[16];
+    static bool init = false;
+    if (!init) {
+        for (int c = 0; c < 16; ++c) cases[c] = make_case(c);
+        init = true;
+    }
+
+    int n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 16) n_threads = 16;
+    const int64_t cells_x = nx - 1;
+    if (cells_x < n_threads * 4) n_threads = 1;
+
+    std::vector<std::vector<float>> soups(n_threads);
+    if (n_threads == 1) {
+        slab_worker(vol, nx, ny, nz, level, 0, cells_x, cases, &soups[0]);
+    } else {
+        std::vector<std::thread> pool;
+        const int64_t step = (cells_x + n_threads - 1) / n_threads;
+        for (int i = 0; i < n_threads; ++i) {
+            const int64_t x0 = i * step;
+            const int64_t x1 = x0 + step < cells_x ? x0 + step : cells_x;
+            pool.emplace_back(slab_worker, vol, nx, ny, nz, level, x0, x1,
+                              cases, &soups[i]);
+        }
+        for (auto& th : pool) th.join();
+    }
+
+    int64_t total = 0;
+    for (auto& s : soups) total += (int64_t)s.size();
+    if (total == 0) return 1;
+
+    std::vector<float> verts;
+    std::vector<int64_t> faces;
+    verts.reserve(total / 2);
+    faces.reserve(total / 9 * 3);
+    std::unordered_map<Key, int64_t, KeyHash> weld;
+    weld.reserve((size_t)(total / 6));
+
+    for (auto& s : soups) {
+        for (size_t off = 0; off + 9 <= s.size(); off += 9) {
+            int64_t idx[3];
+            for (int e = 0; e < 3; ++e) {
+                const float* pp = &s[off + 3 * (size_t)e];
+                Key key{(int64_t)llroundf(pp[0] * 1024.f),
+                        (int64_t)llroundf(pp[1] * 1024.f),
+                        (int64_t)llroundf(pp[2] * 1024.f)};
+                auto it = weld.find(key);
+                if (it == weld.end()) {
+                    const int64_t vid = (int64_t)(verts.size() / 3);
+                    weld.emplace(key, vid);
+                    verts.push_back(pp[0]);
+                    verts.push_back(pp[1]);
+                    verts.push_back(pp[2]);
+                    idx[e] = vid;
+                } else {
+                    idx[e] = it->second;
+                }
+            }
+            if (idx[0] != idx[1] && idx[1] != idx[2] && idx[0] != idx[2]) {
+                faces.push_back(idx[0]);
+                faces.push_back(idx[1]);
+                faces.push_back(idx[2]);
             }
         }
     }
