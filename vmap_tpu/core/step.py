@@ -71,6 +71,9 @@ class StepStatics:
     # axis (data-parallel bg; XLA then psums bg grads). Requires an active
     # mesh (jax.sharding.use_mesh) at trace time.
     shard_data_axis: bool = False
+    # run the field forward/backward through the fused Pallas kernel
+    # (kernels/ensemble.py custom VJP) instead of the XLA vmap path
+    use_pallas_train: bool = False
 
 
 def _sample_bank(key, pool_rgb, pool_depth, pool_inst, pool_twc, dirs_cache,
@@ -139,8 +142,22 @@ def _sample_bank(key, pool_rgb, pool_depth, pool_inst, pool_twc, dirs_cache,
 def _bank_forward(flat, spec, scale, pts, st: StepStatics):
     """PE + ensemble MLP over [cap, rays, samples, 3] points; ``flat`` is
     the bank's packed parameter buffer (grads flow through it)."""
-    cdtype = jnp.bfloat16 if st.compute_dtype == "bfloat16" else None
     pe, mlp_p = spec.unflatten(flat)
+    if st.use_pallas_train and st.max_deg == 5:
+        from vmap_tpu.kernels.ensemble import fused_field_train, prepare_params
+        cap, n_rays, n_s, _ = pts.shape
+        prepared = prepare_params(pe, mlp_p, scale, spec.hidden)
+        interpret = jax.default_backend() != "tpu"
+        # one point-tile per object: the per-iteration batch is small, so
+        # grid = (cap, 1) keeps kernel-invocation count minimal; cap the
+        # tile so activations ([~10h + 256, tile] f32) stay within VMEM
+        m = n_rays * n_s
+        tile = min(max(((m + 127) // 128) * 128, 128), 1536)
+        alpha, color = fused_field_train(
+            prepared, pts.reshape(cap, m, 3), spec.hidden, interpret, tile)
+        return (alpha.reshape(cap, n_rays, n_s),
+                color.reshape(cap, n_rays, n_s, 3))
+    cdtype = jnp.bfloat16 if st.compute_dtype == "bfloat16" else None
     emb = jax.vmap(lambda p, x, s: embed(p, x, s, st.max_deg))(pe, pts, scale)
     alpha, color = jax.vmap(
         lambda p, e: mlp_apply(p, e, emb1=st.emb1, compute_dtype=cdtype))(mlp_p, emb)

@@ -27,9 +27,19 @@ Weight preprocessing (pad the 87/42-dim embedding inputs to 128 lanes,
 split the concat layers) happens once per call at the JAX level.
 
 The kernel runs per (object, point-tile) grid cell; per-object weights
-(h=32: ~48 KB) stay resident in VMEM across the point tiles. Used by the
-meshing/eval path; the training step keeps the XLA path (it is dispatch-
-latency-bound, not FLOP-bound — see bench.py).
+(h=32: ~48 KB) stay resident in VMEM across the point tiles.
+
+Where each path wins (measured on v5e):
+  * meshing/eval (millions of points, forward only): this kernel is 1.77x
+    the XLA path — the win is keeping 7 layers of activations in VMEM.
+  * the online train step (1.2k points/object/iteration, 20 iterations
+    under lax.scan): the XLA path wins by ~100x. The fused kernel pays a
+    fixed per-grid-cell cost (weight loads, kernel launch) that cannot
+    amortise over such tiny point tiles, while XLA fuses the whole
+    iteration into a handful of ops. ``StepStatics.use_pallas_train``
+    exists (default False) with an exact hand-derived VJP
+    (``fused_field_train``) — correct, tested against autodiff, and the
+    right building block if per-object batch sizes ever grow 100x.
 """
 
 from __future__ import annotations
@@ -85,14 +95,14 @@ def prepare_params(pe: dict, mlp: dict, scale, hidden: int) -> dict:
     }
 
 
-def _field_kernel(scale_ref, dirs_ref, w_in_ref, b_in_ref, w_mid1_ref,
+def _field_kernel(dirs_ref, w_in_ref, b_in_ref, w_mid1_ref,
                   b_mid1_ref, w_cat_h_ref, w_cat_x_ref, b_cat_ref,
                   w_mid2_ref, b_mid2_ref, w_alpha_ref, b_alpha_ref,
                   w_col_h_ref, b_col_h_ref, w_out_ref, b_out_ref,
                   w_col_x_ref,
                   pts_ref, alpha_ref, color_ref):
     f32 = jnp.float32
-    xs = pts_ref[0] / scale_ref[0, 0]                     # [3, T]
+    xs = pts_ref[0]                     # [3, T], pre-divided by scale
     proj = jnp.dot(dirs_ref[0], xs, preferred_element_type=f32)  # [21, T]
 
     T = xs.shape[-1]
@@ -126,22 +136,143 @@ def fused_field_eval(prepared: dict, pts: jax.Array, hidden: int,
     if interpret is None:
         interpret = _interpret_default()
     O, M, _ = pts.shape
-    m_pad = (-M) % tile_m
-    pts_t = jnp.swapaxes(pts, 1, 2).astype(jnp.float32)   # [O, 3, M]
-    if m_pad:
-        pts_t = jnp.pad(pts_t, ((0, 0), (0, 0), (0, m_pad)))
-    Mp = M + m_pad
+    xs = pts / prepared["scale"][:, :, None]  # scale applied outside the kernel
+    pts_t = _pad_m(jnp.swapaxes(xs, 1, 2).astype(jnp.float32), tile_m)
+    alpha_t, color_t = _run_fwd(prepared, pts_t, hidden, pts_t.shape[-1],
+                                interpret, tile_m)
+    alpha = alpha_t[:, 0, :M]
+    color = jnp.swapaxes(color_t[:, :, :M], 1, 2)
+    return alpha, color
+
+
+@partial(jax.jit, static_argnames=("hidden", "interpret"))
+def fused_eval_single(pe: dict, mlp: dict, scale, pts: jax.Array,
+                      hidden: int, interpret: bool | None = None):
+    """Single-object convenience: pts [M, 3] -> (occupancy [M], color [M, 3]).
+    Drop-in accelerator for the meshing field queries."""
+    prepared = prepare_params(pe, mlp, scale, hidden)
+    alpha, color = fused_field_eval(prepared, pts[None], hidden, interpret)
+    return jax.nn.sigmoid(alpha[0]), color[0]
+
+
+# ======================================================================== #
+# Training path: fused forward + hand-derived backward (custom VJP).
+# The backward kernel recomputes the forward activations in VMEM (cheap —
+# the whole chain lives on-chip) and accumulates per-object weight grads
+# across point tiles via the sequential TPU grid (same output block revisited
+# for every m-tile of an object).
+# ======================================================================== #
+
+_PI = np.float32(np.pi)
+
+
+def _recompute_fwd(dirs, p, xs):
+    """Shared forward recompute used by the backward kernel. ``p`` maps
+    name -> loaded [.,.] weight value. Returns every activation needed."""
+    f32 = jnp.float32
+    proj = jnp.dot(dirs, xs, preferred_element_type=f32)
+    T = xs.shape[-1]
+    emb_a = jnp.concatenate(
+        [xs] + [jnp.sin(proj * (_PI * (2.0 ** k))) for k in range(4)]
+        + [jnp.zeros((_EMB_PAD - 87, T), f32)], axis=0)
+    emb_b = jnp.concatenate(
+        [jnp.sin(proj * (_PI * 16.0)), jnp.sin(proj * (_PI * 32.0)),
+         jnp.zeros((_EMB_PAD - 42, T), f32)], axis=0)
+
+    def mm(w, x):
+        return jnp.dot(w, x, preferred_element_type=f32)
+
+    h1 = jax.nn.relu(mm(p["w_in"], emb_a) + p["b_in"])
+    h2 = jax.nn.relu(mm(p["w_mid1"], h1) + p["b_mid1"])
+    h3 = jax.nn.relu(mm(p["w_cat_h"], h2) + mm(p["w_cat_x"], emb_a) + p["b_cat"])
+    h4 = jax.nn.relu(mm(p["w_mid2"], h3) + p["b_mid2"])
+    c = jax.nn.relu(mm(p["w_col_h"], h4) + mm(p["w_col_x"], emb_b) + p["b_col"])
+    logits = mm(p["w_out"], c) + p["b_out"]
+    return proj, emb_a, emb_b, h1, h2, h3, h4, c, logits
+
+
+_W_NAMES = ["dirs", "w_in", "b_in", "w_mid1", "b_mid1", "w_cat_h", "w_cat_x",
+            "b_cat", "w_mid2", "b_mid2", "w_alpha", "b_alpha", "w_col_h",
+            "b_col", "w_out", "b_out", "w_col_x"]
+
+
+def _field_bwd_kernel(*refs):
+    """refs layout: scale, <17 weight refs in _W_NAMES order>, pts_t,
+    g_alpha, g_color, then 17 grad output refs in _W_NAMES order."""
+    n_w = len(_W_NAMES)
+    w_refs = dict(zip(_W_NAMES, refs[:n_w]))
+    pts_ref, ga_ref, gc_ref = refs[n_w: 3 + n_w]
+    out_refs = dict(zip(_W_NAMES, refs[3 + n_w:]))
+
+    f32 = jnp.float32
+    xs = pts_ref[0]  # pre-divided by scale
+    p = {k: w_refs[k][0] for k in _W_NAMES}
+    proj, emb_a, emb_b, h1, h2, h3, h4, c, logits = _recompute_fwd(
+        p["dirs"], p, xs)
+
+    def mm(a, b):
+        return jnp.dot(a, b, preferred_element_type=f32)
+
+    sig = jax.nn.sigmoid(logits)
+    d_logits = gc_ref[0] * sig * (1.0 - sig)          # [3, T]
+    da_pre = ga_ref[0] * 10.0                          # [1, T]
+
+    g = {}
+    g["w_out"] = mm(d_logits, c.T)
+    g["b_out"] = jnp.sum(d_logits, axis=1, keepdims=True)
+    dc = mm(p["w_out"].T, d_logits) * (c > 0)
+    g["w_col_h"] = mm(dc, h4.T)
+    g["w_col_x"] = mm(dc, emb_b.T)
+    g["b_col"] = jnp.sum(dc, axis=1, keepdims=True)
+    g["w_alpha"] = mm(da_pre, h4.T)
+    g["b_alpha"] = jnp.sum(da_pre, axis=1, keepdims=True)
+    dh4 = (mm(p["w_col_h"].T, dc) + mm(p["w_alpha"].T, da_pre)) * (h4 > 0)
+    g["w_mid2"] = mm(dh4, h3.T)
+    g["b_mid2"] = jnp.sum(dh4, axis=1, keepdims=True)
+    dh3 = mm(p["w_mid2"].T, dh4) * (h3 > 0)
+    g["w_cat_h"] = mm(dh3, h2.T)
+    g["w_cat_x"] = mm(dh3, emb_a.T)
+    g["b_cat"] = jnp.sum(dh3, axis=1, keepdims=True)
+    dh2 = mm(p["w_cat_h"].T, dh3) * (h2 > 0)
+    g["w_mid1"] = mm(dh2, h1.T)
+    g["b_mid1"] = jnp.sum(dh2, axis=1, keepdims=True)
+    dh1 = mm(p["w_mid1"].T, dh2) * (h1 > 0)
+    g["w_in"] = mm(dh1, emb_a.T)
+    g["b_in"] = jnp.sum(dh1, axis=1, keepdims=True)
+
+    demb_a = mm(p["w_in"].T, dh1) + mm(p["w_cat_x"].T, dh3)   # [128, T]
+    demb_b = mm(p["w_col_x"].T, dc)                            # [128, T]
+    dproj = jnp.zeros_like(proj)
+    for k in range(4):
+        f = _PI * (2.0 ** k)
+        dproj = dproj + f * jnp.cos(proj * f) * demb_a[3 + 21 * k: 3 + 21 * (k + 1)]
+    dproj = dproj + (_PI * 16.0) * jnp.cos(proj * (_PI * 16.0)) * demb_b[0:21]
+    dproj = dproj + (_PI * 32.0) * jnp.cos(proj * (_PI * 32.0)) * demb_b[21:42]
+    g["dirs"] = mm(dproj, xs.T)                                # [21, 3]
+
+    first = pl.program_id(1) == 0
+    for name in _W_NAMES:
+
+        @pl.when(first)
+        def _(name=name):
+            out_refs[name][0] = g[name]
+
+        @pl.when(jnp.logical_not(first))
+        def _(name=name):
+            out_refs[name][0] = out_refs[name][0] + g[name]
+
+
+def _run_fwd(prepared, pts_t, hidden, Mp, interpret, tile_m):
+    O = pts_t.shape[0]
     h = hidden
+    p = prepared
 
     def obj_block(shape):
-        # per-object operand: same block for every m-tile (stays in VMEM)
         return pl.BlockSpec((1,) + shape, lambda o, i: (o, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    p = prepared
     grid = (O, Mp // tile_m)
     in_specs = [
-        pl.BlockSpec((1, 1), lambda o, i: (o, 0), memory_space=pltpu.SMEM),
         obj_block((21, 3)),
         obj_block((h, _EMB_PAD)), obj_block((h, 1)),
         obj_block((h, h)), obj_block((h, 1)),
@@ -164,27 +295,91 @@ def fused_field_eval(prepared: dict, pts: jax.Array, hidden: int,
         jax.ShapeDtypeStruct((O, 1, Mp), jnp.float32),
         jax.ShapeDtypeStruct((O, 3, Mp), jnp.float32),
     ]
-    alpha_t, color_t = pl.pallas_call(
-        _field_kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(p["scale"], p["dirs"], p["w_in"], p["b_in"], p["w_mid1"], p["b_mid1"],
+    return pl.pallas_call(
+        _field_kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shape, interpret=interpret,
+    )(p["dirs"], p["w_in"], p["b_in"], p["w_mid1"], p["b_mid1"],
       p["w_cat_h"], p["w_cat_x"], p["b_cat"], p["w_mid2"], p["b_mid2"],
       p["w_alpha"], p["b_alpha"], p["w_col_h"], p["b_col"], p["w_out"],
       p["b_out"], p["w_col_x"], pts_t)
+
+
+def _pad_m(x, tile_m):
+    m_pad = (-x.shape[-1]) % tile_m
+    if m_pad:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, m_pad)]
+        x = jnp.pad(x, pad)
+    return x
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_field_train(prepared: dict, pts: jax.Array, hidden: int,
+                      interpret: bool, tile_m: int = TILE_M):
+    """Differentiable fused field forward: (alpha [O, M], color [O, M, 3]).
+    Gradients flow to every prepared weight (incl. the PE projection);
+    points and scale get zero cotangents (they are data/buffers, matching
+    the reference where only module parameters train)."""
+    out, _ = _fused_train_fwd(prepared, pts, hidden, interpret, tile_m)
+    return out
+
+
+def _fused_train_fwd(prepared, pts, hidden, interpret, tile_m):
+    O, M, _ = pts.shape
+    xs = pts / prepared["scale"][:, :, None]
+    pts_t = _pad_m(jnp.swapaxes(xs, 1, 2).astype(jnp.float32), tile_m)
+    alpha_t, color_t = _run_fwd(prepared, pts_t, hidden, pts_t.shape[-1],
+                                interpret, tile_m)
     alpha = alpha_t[:, 0, :M]
     color = jnp.swapaxes(color_t[:, :, :M], 1, 2)
-    return alpha, color
+    return (alpha, color), (prepared, pts)
 
 
-@partial(jax.jit, static_argnames=("hidden", "interpret"))
-def fused_eval_single(pe: dict, mlp: dict, scale, pts: jax.Array,
-                      hidden: int, interpret: bool | None = None):
-    """Single-object convenience: pts [M, 3] -> (occupancy [M], color [M, 3]).
-    Drop-in accelerator for the meshing field queries."""
-    prepared = prepare_params(pe, mlp, scale, hidden)
-    alpha, color = fused_field_eval(prepared, pts[None], hidden, interpret)
-    return jax.nn.sigmoid(alpha[0]), color[0]
+def _fused_train_bwd(hidden, interpret, tile_m, res, cot):
+    prepared, pts = res
+    g_alpha, g_color = cot
+    O, M, _ = pts.shape
+    h = hidden
+    xs = pts / prepared["scale"][:, :, None]
+    pts_t = _pad_m(jnp.swapaxes(xs, 1, 2).astype(jnp.float32), tile_m)
+    Mp = pts_t.shape[-1]
+    ga_t = _pad_m(g_alpha[:, None, :].astype(jnp.float32), tile_m)
+    gc_t = _pad_m(jnp.swapaxes(g_color, 1, 2).astype(jnp.float32), tile_m)
+
+    def obj_block(shape, mem=pltpu.VMEM):
+        return pl.BlockSpec((1,) + shape, lambda o, i: (o, 0, 0),
+                            memory_space=mem)
+
+    shapes = {
+        "dirs": (21, 3),
+        "w_in": (h, _EMB_PAD), "b_in": (h, 1),
+        "w_mid1": (h, h), "b_mid1": (h, 1),
+        "w_cat_h": (h, h), "w_cat_x": (h, _EMB_PAD), "b_cat": (h, 1),
+        "w_mid2": (h, h), "b_mid2": (h, 1),
+        "w_alpha": (1, h), "b_alpha": (1, 1),
+        "w_col_h": (h, h), "b_col": (h, 1),
+        "w_out": (3, h), "b_out": (3, 1),
+        "w_col_x": (h, _EMB_PAD),
+    }
+    grid = (O, Mp // tile_m)
+    in_specs = (
+        [obj_block(shapes[n]) for n in _W_NAMES]
+        + [pl.BlockSpec((1, 3, tile_m), lambda o, i: (o, 0, i),
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec((1, 1, tile_m), lambda o, i: (o, 0, i),
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec((1, 3, tile_m), lambda o, i: (o, 0, i),
+                        memory_space=pltpu.VMEM)]
+    )
+    out_specs = [obj_block(shapes[n]) for n in _W_NAMES]
+    out_shape = [jax.ShapeDtypeStruct((O,) + shapes[n], jnp.float32)
+                 for n in _W_NAMES]
+    grads = pl.pallas_call(
+        _field_bwd_kernel, grid=grid, in_specs=in_specs,
+        out_specs=out_specs, out_shape=out_shape, interpret=interpret,
+    )(*[prepared[n] for n in _W_NAMES], pts_t, ga_t, gc_t)
+    d_prepared = dict(zip(_W_NAMES, grads))
+    d_prepared["scale"] = jnp.zeros_like(prepared["scale"])
+    return d_prepared, jnp.zeros_like(pts)
+
+
+fused_field_train.defvjp(_fused_train_fwd, _fused_train_bwd)
