@@ -30,6 +30,9 @@ def parse_args(argv=None):
     p.add_argument("--max_frames", type=int, default=None)
     p.add_argument("--profile", action="store_true",
                    help="print per-stage timings each frame")
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace to DIR "
+                        "(view with xprof/tensorboard)")
     return p.parse_args(argv)
 
 
@@ -59,6 +62,12 @@ def main(argv=None):
     timer = StageTimer(enabled=args.profile)
     log_path = os.path.join(args.logdir, "train_log.jsonl")
     log_f = open(log_path, "a")
+
+    trace_cm = None
+    if args.trace:
+        from vmap_tpu.utils.profiling import device_trace
+        trace_cm = device_trace(args.trace)
+        trace_cm.__enter__()
 
     it = iter(PrefetchIterator(dataset))
     t_start = time.time()
@@ -126,6 +135,9 @@ def main(argv=None):
                     ckpt_lib.save_full_checkpoint(
                         mapper, os.path.join(ckpt_dir, "state"), frame_idx)
 
+    if trace_cm is not None:
+        trace_cm.__exit__(None, None, None)
+        print(f"device trace written to {args.trace}")
     log_f.close()
     print(f"done: {mapper.n_objects} objects, "
           f"{mapper.frames_ingested} frames, "

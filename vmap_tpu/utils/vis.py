@@ -42,7 +42,7 @@ def render_mesh_snapshot(meshes, path: str, elev: float = 25.0,
         light = np.array([0.3, -0.5, 0.81])
         lam = np.clip(np.abs(n @ light), 0.3, 1.0)
         coll = Poly3DCollection(tris, facecolors=np.clip(c * lam[:, None], 0, 1),
-                                edgecolors="none")
+                                edgecolors="none", zsort="average")
         ax.add_collection3d(coll)
         all_v.append(mesh.vertices)
     if all_v:
