@@ -29,7 +29,6 @@ def build_workload(compute_dtype: str = "bfloat16"):
     import jax.numpy as jnp
     from vmap_tpu.core.bank import activate_slot, init_bank
     from vmap_tpu.core.step import StepStatics, make_frame_step
-    from vmap_tpu.ops.rays import ray_dirs_cache
 
     # Replica room0 vMAP config shapes (configs/Replica/..._vMAP.json)
     CAP, HIDDEN, HIDDEN_BG = 100, 32, 128
@@ -41,6 +40,7 @@ def build_workload(compute_dtype: str = "bfloat16"):
         do_bg=True, win_bg=10, n_px_bg=120, n_b2s_bg=5,
         min_depth=0.0, surface_eps=0.1, stop_eps=0.05,
         lr=1e-3, wd=0.013, compute_dtype=compute_dtype,
+        fx=600.0, fy=600.0, cx=599.5, cy=339.5,
     )
 
     key = jax.random.PRNGKey(0)
@@ -51,10 +51,12 @@ def build_workload(compute_dtype: str = "bfloat16"):
     bank_bg = activate_slot(bank_bg, 0, jax.random.fold_in(key, 2), 5.0, HIDDEN_BG)
 
     rng = np.random.default_rng(0)
+    depth_mm = rng.integers(500, 7500, (POOL, W, H)).astype(np.uint32)
+    inst_b = (rng.integers(-1, CAP, (POOL, W, H)) + 1).astype(np.uint32)
+    rgbw = rng.integers(0, 2**24, (POOL, W, H)).astype(np.uint32)
     pool = (
-        jnp.asarray(rng.integers(0, 255, (POOL, W, H, 3)), jnp.uint8),
-        jnp.asarray(rng.integers(500, 7500, (POOL, W, H)), jnp.uint16),
-        jnp.asarray(rng.integers(-1, CAP, (POOL, W, H)), jnp.int16),
+        jnp.asarray(np.stack([rgbw, depth_mm | (inst_b << 16)], axis=-1),
+                    jnp.uint32),
         jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (POOL, 1, 1)),
     )
     kf_pool = jnp.asarray(rng.integers(0, POOL, (CAP, KF)), jnp.int32)
@@ -65,27 +67,30 @@ def build_workload(compute_dtype: str = "bfloat16"):
     obj_ids = jnp.arange(CAP, dtype=jnp.int32)
     bg_bbox = jnp.tile(jnp.asarray([0, W, 0, H], jnp.float32), (1, KF, 1))
     bg_tab = (kf_pool[:1], bg_bbox, n_kf[:1], latest2[:1])
-    dirs = ray_dirs_cache(W, H, 600.0, 600.0, 599.5, 339.5)
 
     step = make_frame_step(st)
-    return step, st, (bank_obj, bank_bg, pool, obj_tab, obj_ids, bg_tab, dirs)
+    return step, st, (bank_obj, bank_bg, pool, obj_tab, obj_ids, bg_tab)
 
 
 def run(frames: int = 30, compute_dtype: str = "bfloat16") -> dict:
     import jax
 
-    step, st, (bank_obj, bank_bg, pool, obj_tab, obj_ids, bg_tab, dirs) = \
+    step, st, (bank_obj, bank_bg, pool, obj_tab, obj_ids, bg_tab) = \
         build_workload(compute_dtype)
 
     key = jax.random.PRNGKey(42)
 
     def one_frame(bo, bb, k):
-        return step(bo, bb, *pool, obj_tab, obj_ids, bg_tab, dirs, k)
+        return step(bo, bb, *pool, obj_tab, obj_ids, bg_tab, k)
 
-    # warmup / compile
+    # warmup / compile. NOTE on synchronisation: on remote-execution
+    # backends block_until_ready can resolve before device completion, so
+    # every timed region ends with a host readback of the final loss — a
+    # scalar data-dependent on the whole donated-bank chain, which cannot
+    # materialise until every step actually ran.
     t0 = time.time()
     bank_obj, bank_bg, m = one_frame(bank_obj, bank_bg, key)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     compile_s = time.time() - t0
 
     # The tunnel/dispatch latency on shared TPU frontends is noisy (2-4x
@@ -98,7 +103,7 @@ def run(frames: int = 30, compute_dtype: str = "bfloat16") -> dict:
         for i in range(per_chunk):
             key = jax.random.fold_in(key, c * per_chunk + i)
             bank_obj, bank_bg, m = one_frame(bank_obj, bank_bg, key)
-        jax.block_until_ready(m["loss"])
+        float(m["loss"])  # forces completion of the full chain
         chunk_times.append((time.time() - t0) / per_chunk)
     frame_s = min(chunk_times)
     elapsed = frame_s * frames

@@ -74,8 +74,8 @@ def test_full_checkpoint_resume(trained, tmp_path):
     np.testing.assert_allclose(np.asarray(m2.bank_obj.m),
                                np.asarray(m.bank_obj.m))
     # pool content restored
-    np.testing.assert_array_equal(np.asarray(m2.pool.depth),
-                                  np.asarray(m.pool.depth))
+    np.testing.assert_array_equal(np.asarray(m2.pool.packed),
+                                  np.asarray(m.pool.packed))
     # resumed mapper can continue training
     _train(m2, scene, [5, 6])
     assert int(m2.bank_obj.step.max()) > int(m.bank_obj.step.max())

@@ -38,8 +38,8 @@ def test_orbax_roundtrip(tmp_path):
                                np.asarray(m.bank_obj.flat))
     np.testing.assert_allclose(np.asarray(m2.bank_obj.m),
                                np.asarray(m.bank_obj.m))
-    np.testing.assert_array_equal(np.asarray(m2.pool.depth),
-                                  np.asarray(m.pool.depth))
+    np.testing.assert_array_equal(np.asarray(m2.pool.packed),
+                                  np.asarray(m.pool.packed))
     # resumed mapper trains on
     s = scene.frame_sample(4, n_frames=8)
     out = m2.process_frame(FrameSample(s["image"], s["depth"], s["obj"],

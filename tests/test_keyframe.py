@@ -118,9 +118,10 @@ def test_pool_write_and_read():
     twc[0, 3] = 5.0
     s = p.allocate(0)
     p.write(s, rgb, depth, inst, twc)
-    np.testing.assert_array_equal(np.asarray(p.rgb[s]), rgb)
-    np.testing.assert_array_equal(np.asarray(p.depth[s]), depth)
-    np.testing.assert_array_equal(np.asarray(p.inst[s]), inst)
+    # packed storage roundtrips through the per-slot unpack views
+    np.testing.assert_array_equal(np.asarray(p.slot_rgb(s)), rgb)
+    np.testing.assert_allclose(p.slot_depth_m(s), 1.234, atol=1e-6)
+    np.testing.assert_array_equal(p.slot_inst(s), inst.astype(np.int32))
     np.testing.assert_allclose(np.asarray(p.twc[s]), twc)
 
 

@@ -93,9 +93,7 @@ def save_full_checkpoint(mapper, path: str, frame_id: int) -> str:
         "bank_obj": _bank_to_numpy(mapper.bank_obj),
         "bank_bg": _bank_to_numpy(mapper.bank_bg),
         "pool": {
-            "rgb": np.asarray(mapper.pool.rgb),
-            "depth": np.asarray(mapper.pool.depth),
-            "inst": np.asarray(mapper.pool.inst),
+            "packed": np.asarray(mapper.pool.packed),
             "twc": np.asarray(mapper.pool.twc),
             "refcount": mapper.pool.refcount,
             "frame_id": mapper.pool.frame_id,
@@ -132,8 +130,7 @@ def save_full_checkpoint_orbax(mapper, path: str, frame_id: int) -> str:
         "bank_obj": dict(vars_of_bank(mapper.bank_obj)),
         "bank_bg": (None if mapper.bank_bg is None
                     else dict(vars_of_bank(mapper.bank_bg))),
-        "pool_rgb": mapper.pool.rgb, "pool_depth": mapper.pool.depth,
-        "pool_inst": mapper.pool.inst, "pool_twc": mapper.pool.twc,
+        "pool_packed": mapper.pool.packed, "pool_twc": mapper.pool.twc,
         "key": mapper.key,
     }
     with ocp.StandardCheckpointer() as ckptr:
@@ -178,9 +175,7 @@ def load_full_checkpoint_orbax(mapper, ckpt_dir: str) -> int:
     mapper.bank_bg = (None if arrays["bank_bg"] is None
                       else BankState(spec=host["bank_bg_meta"],
                                      **arrays["bank_bg"]))
-    mapper.pool.rgb = arrays["pool_rgb"]
-    mapper.pool.depth = arrays["pool_depth"]
-    mapper.pool.inst = arrays["pool_inst"]
+    mapper.pool.packed = arrays["pool_packed"]
     mapper.pool.twc = arrays["pool_twc"]
     mapper.key = arrays["key"]
     mapper.pool.refcount = host["pool_refcount"]
@@ -212,9 +207,7 @@ def load_full_checkpoint(mapper, file: str) -> int:
     mapper.bank_bg = (None if state["bank_bg"] is None
                       else to_dev(state["bank_bg"]))
     p = state["pool"]
-    mapper.pool.rgb = jnp.asarray(p["rgb"])
-    mapper.pool.depth = jnp.asarray(p["depth"])
-    mapper.pool.inst = jnp.asarray(p["inst"])
+    mapper.pool.packed = jnp.asarray(p["packed"])
     mapper.pool.twc = jnp.asarray(p["twc"])
     mapper.pool.refcount = p["refcount"]
     mapper.pool.frame_id = p["frame_id"]

@@ -27,7 +27,6 @@ from vmap_tpu.core import bank as bank_lib
 from vmap_tpu.core.keyframe import KeyframeTable
 from vmap_tpu.core.pool import FramePool
 from vmap_tpu.core.step import StepStatics, make_frame_step
-from vmap_tpu.ops.rays import ray_dirs_cache
 
 
 @dataclass
@@ -69,7 +68,6 @@ class Mapper:
         self.pool = FramePool(cfg.frame_pool_size, cfg.W, cfg.H)
         self.obj_table = KeyframeTable(self.capacity, cfg.keyframe_buffer_size)
         self.bg_table = KeyframeTable(1, cfg.keyframe_buffer_size)
-        self.dirs_cache = ray_dirs_cache(cfg.W, cfg.H, cfg.fx, cfg.fy, cfg.cx, cfg.cy)
 
         self.registry: dict[int, ObjectRecord] = {}   # obj_id -> record
         self._slot_objid = np.full(self.capacity, -(10 ** 6), np.int32)
@@ -85,6 +83,7 @@ class Mapper:
             n_px_bg=cfg.n_samples_per_frame_bg, n_b2s_bg=cfg.n_bins_cam2surface_bg,
             min_depth=cfg.min_depth, surface_eps=cfg.surface_eps,
             stop_eps=cfg.stop_eps, depth_scale=cfg.depth_scale,
+            fx=cfg.fx, fy=cfg.fy, cx=cfg.cx, cy=cfg.cy,
             lr=cfg.learning_rate, wd=cfg.weight_decay,
             color_scaling=cfg.color_scaling, opacity_scaling=cfg.opacity_scaling,
             max_deg=cfg.n_unidir_funcs, compute_dtype=cfg.compute_dtype,
@@ -215,7 +214,7 @@ class Mapper:
         t0 = time.perf_counter()
         self.bank_obj, self.bank_bg, metrics = self._step_fn(
             self.bank_obj, self.bank_bg, *self.pool.arrays(),
-            obj_tab, obj_ids, bg_tab, self.dirs_cache, self._next_key())
+            obj_tab, obj_ids, bg_tab, self._next_key())
         metrics = {k: v for k, v in metrics.items()}
         metrics["step_time_s"] = time.perf_counter() - t0
         return metrics
@@ -245,14 +244,14 @@ class Mapper:
             ids1 = jnp.asarray(obj_ids[int(slot):int(slot) + 1])
             one, _, metrics = self._forloop_step_fn(
                 one, None, *self.pool.arrays(), tab1, ids1, tab1,
-                self.dirs_cache, self._next_key())
+                self._next_key())
             self.bank_obj = put(self.bank_obj, one, int(slot))
             total_loss += float(metrics["loss"])
         if self.cfg.do_bg and self.bank_bg is not None and bool(self.bank_bg.active[0]):
             bg_ids = jnp.zeros((1,), jnp.int32)
             bg, _, metrics = self._forloop_step_fn(
                 self.bank_bg, None, *self.pool.arrays(), bg_tab, bg_ids,
-                bg_tab, self.dirs_cache, self._next_key())
+                bg_tab, self._next_key())
             self.bank_bg = bg
             total_loss += float(metrics["loss"])
         return {"loss": total_loss,

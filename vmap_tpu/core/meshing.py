@@ -79,13 +79,11 @@ def object_points(mapper, obj_id: int, stride: int = 4) -> np.ndarray:
     rec = mapper.registry[obj_id]
     table = mapper.bg_table if rec.is_bg else mapper.obj_table
     t = table.objects[rec.slot]
-    depth_pool = np.asarray(mapper.pool.depth)
-    inst_pool = np.asarray(mapper.pool.inst)
     twc_pool = np.asarray(mapper.pool.twc)
     pts = []
     for _local, pool_slot in t.all_slots():
-        depth = depth_pool[pool_slot].astype(np.float32) * 1e-3
-        mask = inst_pool[pool_slot] == obj_id
+        depth = mapper.pool.slot_depth_m(pool_slot)
+        mask = mapper.pool.slot_inst(pool_slot) == obj_id
         if not mask.any():
             continue
         d = depth[::stride, ::stride]

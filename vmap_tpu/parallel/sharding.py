@@ -53,7 +53,7 @@ def place_tables(mesh: Mesh, tab: tuple, axis: str = "obj") -> tuple:
 
 
 def place_state(mesh: Mesh, bank_obj, bank_bg, pool_arrays, obj_tab, obj_ids,
-                bg_tab, dirs_cache):
+                bg_tab):
     """Shard a Mapper's device state for SPMD execution of the frame step."""
     bank_obj = place_bank(mesh, bank_obj, "obj")
     bank_bg = None if bank_bg is None else place_bank(mesh, bank_bg, None)
@@ -61,5 +61,4 @@ def place_state(mesh: Mesh, bank_obj, bank_bg, pool_arrays, obj_tab, obj_ids,
     obj_tab = place_tables(mesh, obj_tab, "obj")
     obj_ids = jax.device_put(obj_ids, _shard(mesh, "obj"))
     bg_tab = place_tables(mesh, bg_tab, None) if bg_tab is not None else None
-    dirs_cache = jax.device_put(dirs_cache, _shard(mesh))
-    return bank_obj, bank_bg, pool_arrays, obj_tab, obj_ids, bg_tab, dirs_cache
+    return bank_obj, bank_bg, pool_arrays, obj_tab, obj_ids, bg_tab
