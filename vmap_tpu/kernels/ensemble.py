@@ -95,37 +95,54 @@ def prepare_params(pe: dict, mlp: dict, scale, hidden: int) -> dict:
     }
 
 
-def _field_kernel(dirs_ref, w_in_ref, b_in_ref, w_mid1_ref,
-                  b_mid1_ref, w_cat_h_ref, w_cat_x_ref, b_cat_ref,
-                  w_mid2_ref, b_mid2_ref, w_alpha_ref, b_alpha_ref,
-                  w_col_h_ref, b_col_h_ref, w_out_ref, b_out_ref,
-                  w_col_x_ref,
-                  pts_ref, alpha_ref, color_ref):
-    f32 = jnp.float32
-    xs = pts_ref[0]                     # [3, T], pre-divided by scale
-    proj = jnp.dot(dirs_ref[0], xs, preferred_element_type=f32)  # [21, T]
+def _make_fwd_kernel(G: int):
+    """Forward kernel processing G objects per grid cell (static unroll):
+    amortises per-cell launch/DMA overhead across the group."""
 
-    T = xs.shape[-1]
-    pi = np.float32(np.pi)
-    emb_a = jnp.concatenate(
-        [xs] + [jnp.sin(proj * (pi * (2.0 ** k))) for k in range(4)]
-        + [jnp.zeros((_EMB_PAD - 87, T), f32)], axis=0)
-    emb_b = jnp.concatenate(
-        [jnp.sin(proj * (pi * 16.0)), jnp.sin(proj * (pi * 32.0)),
-         jnp.zeros((_EMB_PAD - 42, T), f32)], axis=0)
+    def kernel(dirs_ref, w_in_ref, b_in_ref, w_mid1_ref,
+               b_mid1_ref, w_cat_h_ref, w_cat_x_ref, b_cat_ref,
+               w_mid2_ref, b_mid2_ref, w_alpha_ref, b_alpha_ref,
+               w_col_h_ref, b_col_h_ref, w_out_ref, b_out_ref,
+               w_col_x_ref,
+               pts_ref, alpha_ref, color_ref):
+        f32 = jnp.float32
+        pi = np.float32(np.pi)
+        for g in range(G):
+            xs = pts_ref[g]                     # [3, T], pre-divided by scale
+            proj = jnp.dot(dirs_ref[g], xs, preferred_element_type=f32)
+            T = xs.shape[-1]
+            emb_a = jnp.concatenate(
+                [xs] + [jnp.sin(proj * (pi * (2.0 ** k))) for k in range(4)]
+                + [jnp.zeros((_EMB_PAD - 87, T), f32)], axis=0)
+            emb_b = jnp.concatenate(
+                [jnp.sin(proj * (pi * 16.0)), jnp.sin(proj * (pi * 32.0)),
+                 jnp.zeros((_EMB_PAD - 42, T), f32)], axis=0)
 
-    def mm(w_ref, x):
-        return jnp.dot(w_ref[0], x, preferred_element_type=f32)
+            def mm(w_ref, x, g=g):
+                return jnp.dot(w_ref[g], x, preferred_element_type=f32)
 
-    h1 = jax.nn.relu(mm(w_in_ref, emb_a) + b_in_ref[0])
-    h2 = jax.nn.relu(mm(w_mid1_ref, h1) + b_mid1_ref[0])
-    h3 = jax.nn.relu(mm(w_cat_h_ref, h2) + mm(w_cat_x_ref, emb_a)
-                     + b_cat_ref[0])
-    h4 = jax.nn.relu(mm(w_mid2_ref, h3) + b_mid2_ref[0])
-    alpha_ref[0] = (mm(w_alpha_ref, h4) + b_alpha_ref[0]) * 10.0
-    c = jax.nn.relu(mm(w_col_h_ref, h4) + mm(w_col_x_ref, emb_b)
-                    + b_col_h_ref[0])
-    color_ref[0] = jax.nn.sigmoid(mm(w_out_ref, c) + b_out_ref[0])
+            h1 = jax.nn.relu(mm(w_in_ref, emb_a) + b_in_ref[g])
+            h2 = jax.nn.relu(mm(w_mid1_ref, h1) + b_mid1_ref[g])
+            h3 = jax.nn.relu(mm(w_cat_h_ref, h2) + mm(w_cat_x_ref, emb_a)
+                             + b_cat_ref[g])
+            h4 = jax.nn.relu(mm(w_mid2_ref, h3) + b_mid2_ref[g])
+            alpha_ref[g] = (mm(w_alpha_ref, h4) + b_alpha_ref[g]) * 10.0
+            c = jax.nn.relu(mm(w_col_h_ref, h4) + mm(w_col_x_ref, emb_b)
+                            + b_col_h_ref[g])
+            color_ref[g] = jax.nn.sigmoid(mm(w_out_ref, c) + b_out_ref[g])
+
+    return kernel
+
+
+def pick_group(n_obj: int, hidden: int, cap_bytes: int = 1 << 20) -> int:
+    """Group size for multi-object grid cells. The kernels support G > 1
+    (static unroll amortising per-cell overhead), but measured end-to-end on
+    v5e a G=8 group ran ~15% SLOWER than G=1 at the vMAP train shapes and
+    G=20 overwhelmed the Mosaic compiler — per-cell launch overhead is not
+    the bottleneck there. Default is therefore 1; pass ``group`` explicitly
+    to the kernel entry points to re-explore."""
+    del n_obj, hidden, cap_bytes
+    return 1
 
 
 def fused_field_eval(prepared: dict, pts: jax.Array, hidden: int,
@@ -196,82 +213,89 @@ _W_NAMES = ["dirs", "w_in", "b_in", "w_mid1", "b_mid1", "w_cat_h", "w_cat_x",
             "b_col", "w_out", "b_out", "w_col_x"]
 
 
-def _field_bwd_kernel(*refs):
-    """refs layout: scale, <17 weight refs in _W_NAMES order>, pts_t,
-    g_alpha, g_color, then 17 grad output refs in _W_NAMES order."""
-    n_w = len(_W_NAMES)
-    w_refs = dict(zip(_W_NAMES, refs[:n_w]))
-    pts_ref, ga_ref, gc_ref = refs[n_w: 3 + n_w]
-    out_refs = dict(zip(_W_NAMES, refs[3 + n_w:]))
+def _make_bwd_kernel(G: int):
+    """Backward kernel processing G objects per grid cell, accumulating
+    per-object weight grads across the (sequential) m-tile grid axis."""
 
-    f32 = jnp.float32
-    xs = pts_ref[0]  # pre-divided by scale
-    p = {k: w_refs[k][0] for k in _W_NAMES}
-    proj, emb_a, emb_b, h1, h2, h3, h4, c, logits = _recompute_fwd(
-        p["dirs"], p, xs)
+    def kernel(*refs):
+        n_w = len(_W_NAMES)
+        w_refs = dict(zip(_W_NAMES, refs[:n_w]))
+        pts_ref, ga_ref, gc_ref = refs[n_w: 3 + n_w]
+        out_refs = dict(zip(_W_NAMES, refs[3 + n_w:]))
+        f32 = jnp.float32
+        first = pl.program_id(1) == 0
 
-    def mm(a, b):
-        return jnp.dot(a, b, preferred_element_type=f32)
+        for gi in range(G):
+            xs = pts_ref[gi]  # pre-divided by scale
+            p = {k: w_refs[k][gi] for k in _W_NAMES}
+            proj, emb_a, emb_b, h1, h2, h3, h4, c, logits = _recompute_fwd(
+                p["dirs"], p, xs)
 
-    sig = jax.nn.sigmoid(logits)
-    d_logits = gc_ref[0] * sig * (1.0 - sig)          # [3, T]
-    da_pre = ga_ref[0] * 10.0                          # [1, T]
+            def mm(a, b):
+                return jnp.dot(a, b, preferred_element_type=f32)
 
-    g = {}
-    g["w_out"] = mm(d_logits, c.T)
-    g["b_out"] = jnp.sum(d_logits, axis=1, keepdims=True)
-    dc = mm(p["w_out"].T, d_logits) * (c > 0)
-    g["w_col_h"] = mm(dc, h4.T)
-    g["w_col_x"] = mm(dc, emb_b.T)
-    g["b_col"] = jnp.sum(dc, axis=1, keepdims=True)
-    g["w_alpha"] = mm(da_pre, h4.T)
-    g["b_alpha"] = jnp.sum(da_pre, axis=1, keepdims=True)
-    dh4 = (mm(p["w_col_h"].T, dc) + mm(p["w_alpha"].T, da_pre)) * (h4 > 0)
-    g["w_mid2"] = mm(dh4, h3.T)
-    g["b_mid2"] = jnp.sum(dh4, axis=1, keepdims=True)
-    dh3 = mm(p["w_mid2"].T, dh4) * (h3 > 0)
-    g["w_cat_h"] = mm(dh3, h2.T)
-    g["w_cat_x"] = mm(dh3, emb_a.T)
-    g["b_cat"] = jnp.sum(dh3, axis=1, keepdims=True)
-    dh2 = mm(p["w_cat_h"].T, dh3) * (h2 > 0)
-    g["w_mid1"] = mm(dh2, h1.T)
-    g["b_mid1"] = jnp.sum(dh2, axis=1, keepdims=True)
-    dh1 = mm(p["w_mid1"].T, dh2) * (h1 > 0)
-    g["w_in"] = mm(dh1, emb_a.T)
-    g["b_in"] = jnp.sum(dh1, axis=1, keepdims=True)
+            sig = jax.nn.sigmoid(logits)
+            d_logits = gc_ref[gi] * sig * (1.0 - sig)          # [3, T]
+            da_pre = ga_ref[gi] * 10.0                          # [1, T]
 
-    demb_a = mm(p["w_in"].T, dh1) + mm(p["w_cat_x"].T, dh3)   # [128, T]
-    demb_b = mm(p["w_col_x"].T, dc)                            # [128, T]
-    dproj = jnp.zeros_like(proj)
-    for k in range(4):
-        f = _PI * (2.0 ** k)
-        dproj = dproj + f * jnp.cos(proj * f) * demb_a[3 + 21 * k: 3 + 21 * (k + 1)]
-    dproj = dproj + (_PI * 16.0) * jnp.cos(proj * (_PI * 16.0)) * demb_b[0:21]
-    dproj = dproj + (_PI * 32.0) * jnp.cos(proj * (_PI * 32.0)) * demb_b[21:42]
-    g["dirs"] = mm(dproj, xs.T)                                # [21, 3]
+            g = {}
+            g["w_out"] = mm(d_logits, c.T)
+            g["b_out"] = jnp.sum(d_logits, axis=1, keepdims=True)
+            dc = mm(p["w_out"].T, d_logits) * (c > 0)
+            g["w_col_h"] = mm(dc, h4.T)
+            g["w_col_x"] = mm(dc, emb_b.T)
+            g["b_col"] = jnp.sum(dc, axis=1, keepdims=True)
+            g["w_alpha"] = mm(da_pre, h4.T)
+            g["b_alpha"] = jnp.sum(da_pre, axis=1, keepdims=True)
+            dh4 = (mm(p["w_col_h"].T, dc) + mm(p["w_alpha"].T, da_pre)) * (h4 > 0)
+            g["w_mid2"] = mm(dh4, h3.T)
+            g["b_mid2"] = jnp.sum(dh4, axis=1, keepdims=True)
+            dh3 = mm(p["w_mid2"].T, dh4) * (h3 > 0)
+            g["w_cat_h"] = mm(dh3, h2.T)
+            g["w_cat_x"] = mm(dh3, emb_a.T)
+            g["b_cat"] = jnp.sum(dh3, axis=1, keepdims=True)
+            dh2 = mm(p["w_cat_h"].T, dh3) * (h2 > 0)
+            g["w_mid1"] = mm(dh2, h1.T)
+            g["b_mid1"] = jnp.sum(dh2, axis=1, keepdims=True)
+            dh1 = mm(p["w_mid1"].T, dh2) * (h1 > 0)
+            g["w_in"] = mm(dh1, emb_a.T)
+            g["b_in"] = jnp.sum(dh1, axis=1, keepdims=True)
 
-    first = pl.program_id(1) == 0
-    for name in _W_NAMES:
+            demb_a = mm(p["w_in"].T, dh1) + mm(p["w_cat_x"].T, dh3)   # [128, T]
+            demb_b = mm(p["w_col_x"].T, dc)                            # [128, T]
+            dproj = jnp.zeros_like(proj)
+            for k in range(4):
+                f = _PI * (2.0 ** k)
+                dproj = dproj + f * jnp.cos(proj * f) * demb_a[3 + 21 * k: 3 + 21 * (k + 1)]
+            dproj = dproj + (_PI * 16.0) * jnp.cos(proj * (_PI * 16.0)) * demb_b[0:21]
+            dproj = dproj + (_PI * 32.0) * jnp.cos(proj * (_PI * 32.0)) * demb_b[21:42]
+            g["dirs"] = mm(dproj, xs.T)                                # [21, 3]
 
-        @pl.when(first)
-        def _(name=name):
-            out_refs[name][0] = g[name]
+            for name in _W_NAMES:
 
-        @pl.when(jnp.logical_not(first))
-        def _(name=name):
-            out_refs[name][0] = out_refs[name][0] + g[name]
+                @pl.when(first)
+                def _(name=name, gi=gi, g=g):
+                    out_refs[name][gi] = g[name]
+
+                @pl.when(jnp.logical_not(first))
+                def _(name=name, gi=gi, g=g):
+                    out_refs[name][gi] = out_refs[name][gi] + g[name]
+
+    return kernel
 
 
-def _run_fwd(prepared, pts_t, hidden, Mp, interpret, tile_m):
+def _run_fwd(prepared, pts_t, hidden, Mp, interpret, tile_m, group=None):
     O = pts_t.shape[0]
     h = hidden
     p = prepared
+    G = group or pick_group(O, h)
 
     def obj_block(shape):
-        return pl.BlockSpec((1,) + shape, lambda o, i: (o, 0, 0),
+        # per-group operand: same block for every m-tile (stays in VMEM)
+        return pl.BlockSpec((G,) + shape, lambda o, i: (o, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    grid = (O, Mp // tile_m)
+    grid = (O // G, Mp // tile_m)
     in_specs = [
         obj_block((21, 3)),
         obj_block((h, _EMB_PAD)), obj_block((h, 1)),
@@ -282,13 +306,13 @@ def _run_fwd(prepared, pts_t, hidden, Mp, interpret, tile_m):
         obj_block((h, h)), obj_block((h, 1)),
         obj_block((3, h)), obj_block((3, 1)),
         obj_block((h, _EMB_PAD)),
-        pl.BlockSpec((1, 3, tile_m), lambda o, i: (o, 0, i),
+        pl.BlockSpec((G, 3, tile_m), lambda o, i: (o, 0, i),
                      memory_space=pltpu.VMEM),
     ]
     out_specs = [
-        pl.BlockSpec((1, 1, tile_m), lambda o, i: (o, 0, i),
+        pl.BlockSpec((G, 1, tile_m), lambda o, i: (o, 0, i),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 3, tile_m), lambda o, i: (o, 0, i),
+        pl.BlockSpec((G, 3, tile_m), lambda o, i: (o, 0, i),
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [
@@ -296,13 +320,12 @@ def _run_fwd(prepared, pts_t, hidden, Mp, interpret, tile_m):
         jax.ShapeDtypeStruct((O, 3, Mp), jnp.float32),
     ]
     return pl.pallas_call(
-        _field_kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
-        out_shape=out_shape, interpret=interpret,
+        _make_fwd_kernel(G), grid=grid, in_specs=in_specs,
+        out_specs=out_specs, out_shape=out_shape, interpret=interpret,
     )(p["dirs"], p["w_in"], p["b_in"], p["w_mid1"], p["b_mid1"],
       p["w_cat_h"], p["w_cat_x"], p["b_cat"], p["w_mid2"], p["b_mid2"],
       p["w_alpha"], p["b_alpha"], p["w_col_h"], p["b_col"], p["w_out"],
       p["b_out"], p["w_col_x"], pts_t)
-
 
 def _pad_m(x, tile_m):
     m_pad = (-x.shape[-1]) % tile_m
@@ -345,8 +368,10 @@ def _fused_train_bwd(hidden, interpret, tile_m, res, cot):
     ga_t = _pad_m(g_alpha[:, None, :].astype(jnp.float32), tile_m)
     gc_t = _pad_m(jnp.swapaxes(g_color, 1, 2).astype(jnp.float32), tile_m)
 
+    G = pick_group(O, h)
+
     def obj_block(shape, mem=pltpu.VMEM):
-        return pl.BlockSpec((1,) + shape, lambda o, i: (o, 0, 0),
+        return pl.BlockSpec((G,) + shape, lambda o, i: (o, 0, 0),
                             memory_space=mem)
 
     shapes = {
@@ -360,21 +385,21 @@ def _fused_train_bwd(hidden, interpret, tile_m, res, cot):
         "w_out": (3, h), "b_out": (3, 1),
         "w_col_x": (h, _EMB_PAD),
     }
-    grid = (O, Mp // tile_m)
+    grid = (O // G, Mp // tile_m)
     in_specs = (
         [obj_block(shapes[n]) for n in _W_NAMES]
-        + [pl.BlockSpec((1, 3, tile_m), lambda o, i: (o, 0, i),
+        + [pl.BlockSpec((G, 3, tile_m), lambda o, i: (o, 0, i),
                         memory_space=pltpu.VMEM),
-           pl.BlockSpec((1, 1, tile_m), lambda o, i: (o, 0, i),
+           pl.BlockSpec((G, 1, tile_m), lambda o, i: (o, 0, i),
                         memory_space=pltpu.VMEM),
-           pl.BlockSpec((1, 3, tile_m), lambda o, i: (o, 0, i),
+           pl.BlockSpec((G, 3, tile_m), lambda o, i: (o, 0, i),
                         memory_space=pltpu.VMEM)]
     )
     out_specs = [obj_block(shapes[n]) for n in _W_NAMES]
     out_shape = [jax.ShapeDtypeStruct((O,) + shapes[n], jnp.float32)
                  for n in _W_NAMES]
     grads = pl.pallas_call(
-        _field_bwd_kernel, grid=grid, in_specs=in_specs,
+        _make_bwd_kernel(G), grid=grid, in_specs=in_specs,
         out_specs=out_specs, out_shape=out_shape, interpret=interpret,
     )(*[prepared[n] for n in _W_NAMES], pts_t, ga_t, gc_t)
     d_prepared = dict(zip(_W_NAMES, grads))
