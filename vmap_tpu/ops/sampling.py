@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.scipy.special import ndtri
 
 # pixel states (vmap.py:153-156)
 OTHER_OBJ = 0
@@ -44,10 +45,22 @@ def stratified_bins(key: jax.Array, min_depth: jax.Array, max_depth: jax.Array,
 
 def normal_bins_sampling(key: jax.Array, depth: jax.Array, n_bins: int,
                          delta: float) -> jax.Array:
-    """Sorted, clipped truncated-normal samples around the surface depth.
-    depth [...] -> [..., n_bins] (vmap.py:75-87)."""
-    bins = jax.random.normal(key, (*depth.shape, n_bins), dtype=jnp.float32) * (delta / 3.0)
-    bins = jnp.sort(bins, axis=-1)
+    """Sorted, clipped normal samples around the surface depth.
+    depth [...] -> [..., n_bins] (vmap.py:75-87).
+
+    Sort-free: sorted uniforms are generated directly as normalised
+    exponential spacings (U_(k) = cumsum(E)_k / sum(E), exact order
+    statistics), then mapped through the normal inverse CDF — a monotone
+    map, so the result is EXACTLY distributed as sorted N(0, (delta/3)^2)
+    draws. jnp.sort over a tiny trailing axis is disproportionately slow on
+    TPU; this formulation is pure elementwise + cumsum."""
+    e = -jnp.log1p(-jax.random.uniform(
+        key, (*depth.shape, n_bins + 1), dtype=jnp.float32))  # Exp(1)
+    csum = jnp.cumsum(e, axis=-1)
+    u_sorted = csum[..., :-1] / csum[..., -1:]
+    # clamp away from {0,1} so ndtri stays finite; clipping below dominates
+    u_sorted = jnp.clip(u_sorted, 1e-7, 1.0 - 1e-7)
+    bins = ndtri(u_sorted) * (delta / 3.0)
     bins = jnp.clip(bins, -delta, delta)
     return depth[..., None] + bins
 
