@@ -29,17 +29,16 @@ split the concat layers) happens once per call at the JAX level.
 The kernel runs per (object, point-tile) grid cell; per-object weights
 (h=32: ~48 KB) stay resident in VMEM across the point tiles.
 
-Where each path wins (measured on v5e):
+Where each path wins (measured on v5e, readback-synced):
   * meshing/eval (millions of points, forward only): this kernel is 1.77x
     the XLA path — the win is keeping 7 layers of activations in VMEM.
   * the online train step (1.2k points/object/iteration, 20 iterations
-    under lax.scan): the XLA path wins by ~100x. The fused kernel pays a
-    fixed per-grid-cell cost (weight loads, kernel launch) that cannot
-    amortise over such tiny point tiles, while XLA fuses the whole
-    iteration into a handful of ops. ``StepStatics.use_pallas_train``
-    exists (default False) with an exact hand-derived VJP
-    (``fused_field_train``) — correct, tested against autodiff, and the
-    right building block if per-object batch sizes ever grow 100x.
+    under lax.scan): within noise of the XLA path (~55-63 ms/frame both) —
+    the step is op-latency-chain-bound, and neither per-cell grouping nor
+    rematerialisation helps (docs/round_notes.md). The exact hand-derived
+    VJP (``fused_field_train``, ``StepStatics.use_pallas_train``, default
+    False) is the tested building block for the planned monolithic
+    train-iteration kernel.
 """
 
 from __future__ import annotations
