@@ -9,10 +9,18 @@ frame in Python (train.py:270-326). Sampling is included (amortised across
 the jitted frame step), so this is end-to-end step throughput, not just the
 matmul.
 
+The measured path is the production one: the monolithic fused Pallas
+train-frame kernel over persistently-prepared banks
+(kernels/train_step.py), exactly what Mapper.train_frame dispatches when
+tpu.fused_train_step resolves on. Pass mode "xla" to time the scan-based
+XLA step instead.
+
 Prints exactly one JSON line:
   {"metric": "train_steps_per_sec_100obj", "value": N, "unit": "steps/s",
    "vs_baseline": N / 5000.0}
-(baseline: >= 5000 steps/s on one TPU v5e chip, BASELINE.md).
+(baseline: >= 5000 steps/s on one TPU v5e chip, BASELINE.md). ``value`` is
+the best sustained 20-frame chunk (the tunnel frontend adds 2-4x noise
+swings); the median chunk is reported alongside in detail.
 """
 
 from __future__ import annotations
@@ -24,11 +32,11 @@ import time
 import numpy as np
 
 
-def build_workload(compute_dtype: str = "bfloat16"):
+def build_workload(compute_dtype: str = "bfloat16", fused: bool = True):
     import jax
     import jax.numpy as jnp
     from vmap_tpu.core.bank import activate_slot, init_bank
-    from vmap_tpu.core.step import StepStatics, make_frame_step
+    from vmap_tpu.core.step import StepStatics, make_frame_step, pick_group
 
     # Replica room0 vMAP config shapes (configs/Replica/..._vMAP.json)
     CAP, HIDDEN, HIDDEN_BG = 100, 32, 128
@@ -41,6 +49,7 @@ def build_workload(compute_dtype: str = "bfloat16"):
         min_depth=0.0, surface_eps=0.1, stop_eps=0.05,
         lr=1e-3, wd=0.013, compute_dtype=compute_dtype,
         fx=600.0, fy=600.0, cx=599.5, cy=339.5,
+        use_fused_frame=fused,
     )
 
     key = jax.random.PRNGKey(0)
@@ -49,6 +58,10 @@ def build_workload(compute_dtype: str = "bfloat16"):
     bank_obj = bank_obj.replace(active=jnp.ones((CAP,), bool))
     bank_bg = init_bank(jax.random.fold_in(key, 1), 1, HIDDEN_BG, 5.0)
     bank_bg = activate_slot(bank_bg, 0, jax.random.fold_in(key, 2), 5.0, HIDDEN_BG)
+    if fused:
+        from vmap_tpu.kernels.train_step import prepare_bank
+        bank_obj = prepare_bank(bank_obj, pick_group(CAP, HIDDEN))
+        bank_bg = prepare_bank(bank_bg, pick_group(1, HIDDEN_BG))
 
     rng = np.random.default_rng(0)
     depth_mm = rng.integers(500, 7500, (POOL, W, H)).astype(np.uint32)
@@ -72,11 +85,12 @@ def build_workload(compute_dtype: str = "bfloat16"):
     return step, st, (bank_obj, bank_bg, pool, obj_tab, obj_ids, bg_tab)
 
 
-def run(frames: int = 30, compute_dtype: str = "bfloat16") -> dict:
+def run(frames: int = 100, compute_dtype: str = "bfloat16",
+        fused: bool = True) -> dict:
     import jax
 
     step, st, (bank_obj, bank_bg, pool, obj_tab, obj_ids, bg_tab) = \
-        build_workload(compute_dtype)
+        build_workload(compute_dtype, fused)
 
     key = jax.random.PRNGKey(42)
 
@@ -94,7 +108,8 @@ def run(frames: int = 30, compute_dtype: str = "bfloat16") -> dict:
     compile_s = time.time() - t0
 
     # The tunnel/dispatch latency on shared TPU frontends is noisy (2-4x
-    # swings between identical runs); report the best sustained chunk.
+    # swings between identical runs); report the best sustained chunk as
+    # the headline and the median chunk alongside.
     n_chunks = 5
     per_chunk = max(frames // n_chunks, 1)
     chunk_times = []
@@ -106,9 +121,8 @@ def run(frames: int = 30, compute_dtype: str = "bfloat16") -> dict:
         float(m["loss"])  # forces completion of the full chain
         chunk_times.append((time.time() - t0) / per_chunk)
     frame_s = min(chunk_times)
-    elapsed = frame_s * frames
+    frame_s_med = sorted(chunk_times)[len(chunk_times) // 2]
 
-    steps = frames * st.n_iter
     sps = st.n_iter / frame_s
     return {
         "metric": "train_steps_per_sec_100obj",
@@ -118,9 +132,12 @@ def run(frames: int = 30, compute_dtype: str = "bfloat16") -> dict:
         "detail": {
             "frames": frames, "iters_per_frame": st.n_iter,
             "frame_ms": round(1000 * frame_s, 2),
+            "frame_ms_median": round(1000 * frame_s_med, 2),
+            "steps_per_sec_median": round(st.n_iter / frame_s_med, 1),
             "frame_ms_chunks": [round(1000 * t, 2) for t in chunk_times],
             "compile_s": round(compile_s, 1),
             "compute_dtype": compute_dtype,
+            "path": "fused_pallas" if fused else "xla_scan",
             "loss_final": float(m["loss"]),
             "backend": jax.devices()[0].platform,
         },
@@ -128,7 +145,8 @@ def run(frames: int = 30, compute_dtype: str = "bfloat16") -> dict:
 
 
 if __name__ == "__main__":
-    frames = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    frames = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
-    result = run(frames, dtype)
+    fused = not (len(sys.argv) > 3 and sys.argv[3] == "xla")
+    result = run(frames, dtype, fused)
     print(json.dumps(result))

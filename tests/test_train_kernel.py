@@ -21,21 +21,24 @@ LR, WD, CS, OSC = 1e-3, 0.013, 5.0, 10.0
 
 
 def make_batch(key, cap, n_rays, S):
-    ks = jax.random.split(key, 6)
+    ks = jax.random.split(key, 7)
     depth = jnp.where(
         jax.random.uniform(ks[0], (cap, n_rays)) < 0.15, 0.0,
         jax.random.uniform(ks[0], (cap, n_rays), minval=0.5, maxval=3.0))
     z = jnp.sort(jax.random.uniform(
         ks[1], (cap, n_rays, S), minval=0.1, maxval=3.5), axis=-1)
-    dirs = jax.random.normal(ks[2], (cap, n_rays, 3))
-    pts = z[..., None] * dirs[:, :, None, :] * 0.3
+    dirs = jax.random.normal(ks[2], (cap, n_rays, 3)) * 0.3
+    origins = jax.random.normal(ks[6], (cap, n_rays, 3)) * 0.1
+    pts = origins[:, :, None, :] + z[..., None] * dirs[:, :, None, :]
     return {
         "rgb": jax.random.uniform(ks[3], (cap, n_rays, 3)),
         "depth": depth,
         "state": jax.random.randint(ks[4], (cap, n_rays), 0, 3),
         "valid": depth > 0,
         "z": z,
-        "pts": pts,
+        "pts": pts,           # XLA reference path
+        "origins": origins,   # fused kernel builds pts = o + z*d in-VMEM
+        "dirs": dirs,
     }
 
 

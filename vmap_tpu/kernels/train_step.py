@@ -48,6 +48,7 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import flax.struct
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -235,23 +236,31 @@ _PI = np.float32(np.pi)
 
 
 def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
-                 lr: float, wd: float, cs: float, osc: float, bf16: bool):
+                 lr: float, wd: float, cs: float, osc: float, bf16: bool,
+                 ablate: frozenset = frozenset()):
+    """Kernel body for one GROUP invocation: every iteration of the frame.
+
+    Grid is (n_groups,): the whole 20-iteration optimisation of a group runs
+    inside one invocation (``lax.fori_loop`` over iterations, ray chunks
+    unrolled), with parameters and Adam moments resident in the VMEM output
+    blocks. This removes the measured ~4 us/invocation grid overhead that a
+    (groups, iters, chunks) grid paid 500 times per frame.
+
+    Points are built in-kernel from per-ray origins/dirs (pre-divided by the
+    object scale) and the sample depths z: xs = o + z*d. This keeps the HBM
+    ray stream at [XP+XP, 128] + z per tile instead of a [XP, S*128] point
+    tensor (5x less batch traffic, and the XLA-side transpose of the big
+    point tensor disappears).
+    """
     HG = G * h
     DG = DPG * G
     cdt = jnp.bfloat16 if bf16 else jnp.float32
     f32 = jnp.float32
     NP = len(P_NAMES)
+    NC = n_chunks
     shapes = group_layout(G, h)
-
-    def rowobj(name: str, rows: int):
-        ri = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-        if name == "dirs":
-            return ri // DPG
-        if name in ("w_alpha", "b_alpha"):
-            return ri
-        if name in ("w_out", "b_out"):
-            return ri % OG
-        return ri // h
+    XP = _rup(3 * G, 8)
+    T = S * R_TILE
 
     def blockmask(name: str):
         r, c = shapes[name]
@@ -280,123 +289,56 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
         pin = refs[0:NP]
         min_ = refs[NP:2 * NP]
         vin = refs[2 * NP:3 * NP]
-        (xs_ref, z_ref, dep_ref, col_ref, mo_ref, ms_ref, md_ref,
-         wmul_ref) = refs[3 * NP:3 * NP + 8]
-        o0 = 3 * NP + 8
+        (o_ref, d_ref, z_ref, dep_ref, col_ref, mo_ref, ms_ref, md_ref,
+         wmul_ref) = refs[3 * NP:3 * NP + 9]
+        o0 = 3 * NP + 9
         pout = refs[o0:o0 + NP]
         mout = refs[o0 + NP:o0 + 2 * NP]
         vout = refs[o0 + 2 * NP:o0 + 3 * NP]
         loss_ref = refs[o0 + 3 * NP]
-        gscr = refs[o0 + 3 * NP + 1:] if n_chunks > 1 else None
 
-        it = pl.program_id(1)
-        ch = pl.program_id(2)
+        for dst, src in zip(pout + mout + vout, pin + min_ + vin):
+            dst[:] = src[:]
+        loss_ref[:] = jnp.zeros_like(loss_ref)
 
-        @pl.when((it == 0) & (ch == 0))
-        def _():
-            for dst, src in zip(pout + mout + vout, pin + min_ + vin):
-                dst[:] = src[:]
-            loss_ref[:] = jnp.zeros_like(loss_ref)
-
-        p = {n: pout[k][0] for k, n in enumerate(P_NAMES)}
-
-        # ---------------- forward ----------------
-        xs = xs_ref[0]                      # [XP, T] f32, pre-divided by scale
-        proj = jnp.dot(p["dirs"], xs, preferred_element_type=f32)  # [DG, T]
+        # z rows [OG] -> xs rows [XP]: row 3g+c reads z row g
+        zri = jax.lax.broadcasted_iota(jnp.int32, (XP, OG), 0)
+        zci = jax.lax.broadcasted_iota(jnp.int32, (XP, OG), 1)
+        zbmat = ((zri // 3 == zci) & (zri < 3 * G)).astype(f32)
+        masks = {n: blockmask(n) for n in P_NAMES}
         rowi = jax.lax.broadcasted_iota(jnp.int32, (DG, 1), 0)
         xsrow = (rowi % DPG) >= 21
+        coli_og = jax.lax.broadcasted_iota(jnp.int32, (OG, 128), 1)
 
-        def band(k):
-            s = jnp.sin(proj * (_PI * (2.0 ** k)))
-            if k == 0:
-                return jnp.where(xsrow, proj, s)
-            return jnp.where(xsrow, 0.0, s)
+        # per-row -> per-object expansion one-hots for the Adam scalars
+        def expand_oh(rows: int, mode: str):
+            ri = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+            if mode == "dirs":
+                ro = ri // DPG
+            elif mode == "head":
+                ro = ri % OG
+            elif mode == "alpha":
+                ro = ri
+            else:
+                ro = ri // h
+            ci = jax.lax.broadcasted_iota(jnp.int32, (rows, OG), 1)
+            return (ro == ci).astype(f32)
 
-        emb_a = jnp.concatenate([band(k) for k in range(4)], 0).astype(cdt)
-        emb_b = jnp.concatenate([band(4), band(5)], 0).astype(cdt)
+        ohs = {"div": expand_oh(HG, "div"), "dirs": expand_oh(DG, "dirs"),
+               "alpha": expand_oh(OG, "alpha"),
+               "head": expand_oh(3 * OG, "head")}
+
+        def cls(n):
+            if n == "dirs":
+                return "dirs"
+            if n in ("w_alpha", "b_alpha"):
+                return "alpha"
+            if n in ("w_out", "b_out"):
+                return "head"
+            return "div"
 
         def mm(w, x):
             return jnp.dot(w.astype(cdt), x, preferred_element_type=f32)
-
-        h1 = jax.nn.relu(mm(p["w_in"], emb_a) + p["b_in"]).astype(cdt)
-        h2 = jax.nn.relu(mm(p["w_mid1"], h1) + p["b_mid1"]).astype(cdt)
-        h3 = jax.nn.relu(mm(p["w_cat_h"], h2) + mm(p["w_cat_x"], emb_a)
-                         + p["b_cat"]).astype(cdt)
-        h4 = jax.nn.relu(mm(p["w_mid2"], h3) + p["b_mid2"]).astype(cdt)
-        alpha = (mm(p["w_alpha"], h4) + p["b_alpha"]) * 10.0      # [OG,T] f32
-        cact = jax.nn.relu(mm(p["w_col_h"], h4) + mm(p["w_col_x"], emb_b)
-                           + p["b_col"]).astype(cdt)
-        logits = mm(p["w_out"], cact) + p["b_out"]                # [3*OG,T]
-        color = jax.nn.sigmoid(logits)
-
-        # ---------------- render + losses (f32) ----------------
-        z = z_ref[0]                                              # [OG, T]
-
-        def tile(a, s):
-            return a[:, s * R_TILE:(s + 1) * R_TILE]
-
-        occ = jax.nn.sigmoid(alpha)
-        # 1 - occ + 1e-10 can const-fold/reassociate to exactly 0 at occ == 1
-        # under some compilation paths; clamp so the cumprod backward's
-        # division stays finite (matches the reference's intended epsilon).
-        free = jnp.maximum(1.0 - occ + 1e-10, 1e-10)
-        cp = jnp.ones((OG, R_TILE), f32)
-        cps, terms = [], []
-        for s in range(S):
-            cps.append(cp)
-            terms.append(tile(occ, s) * cp)
-            cp = cp * tile(free, s)
-        RD = sum(terms[s] * tile(z, s) for s in range(S))
-        RO = sum(terms)
-        var = sum(terms[s] * (tile(z, s) - RD) ** 2 for s in range(S))
-        info = 1.0 / (jnp.sqrt(var) + 1e-4)
-        RC = [sum(terms[s] * tile(color[c * OG:(c + 1) * OG], s)
-                  for s in range(S)) for c in range(3)]
-
-        dep = dep_ref[0]
-        mo = mo_ref[0]
-        msm = ms_ref[0]
-        md = md_ref[0]
-        gtc = col_ref[0]                                          # [3*OG,128]
-        w3 = wmul_ref[0]                                          # [48, 1]
-        w_d, w_c, w_o = w3[0:OG], w3[OG:2 * OG], w3[2 * OG:3 * OG]
-
-        res_d = RD - dep
-        res_o = RO - mo
-        res_c = [RC[c] - gtc[c * OG:(c + 1) * OG] for c in range(3)]
-        ld = jnp.sum(jnp.abs(res_d) * md * info, 1, keepdims=True) * w_d
-        lc = sum(jnp.sum(jnp.abs(res_c[c]) * mo, 1, keepdims=True)
-                 for c in range(3)) * w_c
-        lo = jnp.sum(jnp.abs(res_o) * msm, 1, keepdims=True) * w_o
-        lobj = ld + cs * lc + osc * lo                            # [OG, 1]
-        coli = jax.lax.broadcasted_iota(jnp.int32, (OG, 128), 1)
-        loss_ref[0] = loss_ref[0] + jnp.where(coli == it, lobj, 0.0)
-
-        # ---------------- backward ----------------
-        dRD = jnp.sign(res_d) * md * info * w_d
-        dRO = jnp.sign(res_o) * msm * (w_o * osc)
-        dRC = [jnp.sign(res_c[c]) * mo * (w_c * cs) for c in range(3)]
-
-        dterm = [dRD * tile(z, s) + dRO
-                 + sum(dRC[c] * tile(color[c * OG:(c + 1) * OG], s)
-                       for c in range(3))
-                 for s in range(S)]
-        # occupancy backward: docc_s = dterm_s*cp_s - (sum_{k>s} dterm_k*term_k)/free_s
-        suf = jnp.zeros((OG, R_TILE), f32)
-        dalpha_tiles = [None] * S
-        for s in range(S - 1, -1, -1):
-            occ_s = tile(occ, s)
-            docc = dterm[s] * cps[s] - suf / tile(free, s)
-            dalpha_tiles[s] = docc * occ_s * (1.0 - occ_s) * 10.0
-            suf = suf + dterm[s] * terms[s]
-        dalpha = jnp.concatenate(dalpha_tiles, 1)                 # [OG,T] f32
-        dcolor = jnp.concatenate(
-            [jnp.concatenate([dRC[c] * terms[s] for s in range(S)], 1)
-             for c in range(3)], 0)                               # [3*OG, T]
-        dlogits = dcolor * color * (1.0 - color)
-
-        da_c = dalpha.astype(cdt)
-        dl_c = dlogits.astype(cdt)
 
         def mmT(a, b):      # [m,T] x [k,T] -> [m,k], contract T
             return jax.lax.dot_general(
@@ -407,101 +349,200 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
                 w.astype(cdt), dy, (((0,), (0,)), ((), ())),
                 preferred_element_type=f32)
 
-        g = {}
-        g["w_out"] = mmT(dl_c, cact)
-        g["b_out"] = jnp.sum(dlogits, 1, keepdims=True)
-        dc = mTv(p["w_out"], dl_c) * (cact > 0)
-        dc_c = dc.astype(cdt)
-        g["w_col_h"] = mmT(dc_c, h4)
-        g["w_col_x"] = mmT(dc_c, emb_b)
-        g["b_col"] = jnp.sum(dc, 1, keepdims=True)
-        g["w_alpha"] = mmT(da_c, h4)
-        g["b_alpha"] = jnp.sum(dalpha, 1, keepdims=True)
-        dh4 = (mTv(p["w_col_h"], dc_c) + mTv(p["w_alpha"], da_c)) * (h4 > 0)
-        dh4_c = dh4.astype(cdt)
-        g["w_mid2"] = mmT(dh4_c, h3)
-        g["b_mid2"] = jnp.sum(dh4, 1, keepdims=True)
-        dh3 = mTv(p["w_mid2"], dh4_c) * (h3 > 0)
-        dh3_c = dh3.astype(cdt)
-        g["w_cat_h"] = mmT(dh3_c, h2)
-        g["w_cat_x"] = mmT(dh3_c, emb_a)
-        g["b_cat"] = jnp.sum(dh3, 1, keepdims=True)
-        dh2 = mTv(p["w_cat_h"], dh3_c) * (h2 > 0)
-        dh2_c = dh2.astype(cdt)
-        g["w_mid1"] = mmT(dh2_c, h1)
-        g["b_mid1"] = jnp.sum(dh2, 1, keepdims=True)
-        dh1 = mTv(p["w_mid1"], dh2_c) * (h1 > 0)
-        dh1_c = dh1.astype(cdt)
-        g["w_in"] = mmT(dh1_c, emb_a)
-        g["b_in"] = jnp.sum(dh1, 1, keepdims=True)
+        def pos(a):         # Mosaic cannot compare bf16 vectors; mask in f32
+            return a.astype(f32) > 0
 
-        demb_a = mTv(p["w_in"], dh1_c) + mTv(p["w_cat_x"], dh3_c)  # [EA,T]
-        demb_b = mTv(p["w_col_x"], dc_c)                            # [EB,T]
-        dproj = jnp.where(xsrow, demb_a[0:DG], 0.0)
-        for k in range(6):
-            blk = demb_a[k * DG:(k + 1) * DG] if k < 4 else \
-                demb_b[(k - 4) * DG:(k - 3) * DG]
-            f = _PI * np.float32(2.0 ** k)
-            dproj = dproj + jnp.where(xsrow, 0.0, f * jnp.cos(proj * f) * blk)
-        g["dirs"] = jax.lax.dot_general(
-            dproj.astype(cdt), xs.astype(cdt), (((1,), (1,)), ((), ())),
-            preferred_element_type=f32)
+        def chunk_grads(p, idx, w3):
+            """Forward + render/loss + backward for one 128-ray chunk.
+            Returns (grads dict, per-object loss [OG, 1])."""
+            if "static0" in ablate:   # profiling: cost of dynamic batch reads
+                idx = 0
+            o = o_ref[0, idx]                                  # [XP, 128]
+            d = d_ref[0, idx]
+            z = z_ref[0, idx]                                  # [OG, T]
 
-        # ---------------- grad accumulation / AdamW ----------------
-        if n_chunks > 1:
-            for k, n in enumerate(P_NAMES):
-                @pl.when(ch == 0)
-                def _(k=k, n=n):
-                    gscr[k][:] = g[n]
+            def tile(a, s):
+                return a[:, s * R_TILE:(s + 1) * R_TILE]
 
-                @pl.when(ch > 0)
-                def _(k=k, n=n):
-                    gscr[k][:] = gscr[k][:] + g[n]
+            zb = jnp.dot(zbmat, z, preferred_element_type=f32)  # [XP, T]
+            xs = jnp.concatenate(
+                [o + tile(zb, s) * d for s in range(S)], 1)     # [XP, T]
 
-        @pl.when(ch == n_chunks - 1)
-        def _():
-            # per-slot bias-correction / active scalars ride in wmul rows
-            # 24..47; expand to per-row vectors via static one-hot dots.
-            c1v = w3[3 * OG:4 * OG]                              # [OG, 1]
+            # ---------------- forward ----------------
+            proj = jnp.dot(p["dirs"], xs, preferred_element_type=f32)
+            # sin(pi*2^k*proj), k=0..5, via the double-angle ladder: two
+            # transcendentals total instead of six sins fwd + six cos bwd
+            # (transcendentals on [DG, T] dominated the kernel: bf16 matmuls
+            # measured ~0% faster -> VPU-bound). Ladder rounding grows ~2^k
+            # (<= ~32 ulp at k=5), negligible at the 1e-4 loss scale.
+            sins = [jnp.sin(proj * _PI)]
+            coss = [jnp.cos(proj * _PI)]
+            for _ in range(5):
+                s_, c_ = sins[-1], coss[-1]
+                sins.append(2.0 * s_ * c_)
+                coss.append(1.0 - 2.0 * s_ * s_)
+            # rows 21..23 of each 24-row object block are structural (xs
+            # pass-through in band 0; JUNK in bands 1..5 and emb_b — their
+            # weight columns are structurally zero, so no masking needed).
+            band0 = jnp.where(xsrow, proj, sins[0])
+            emb_a = jnp.concatenate([band0, sins[1], sins[2], sins[3]],
+                                    0).astype(cdt)
+            emb_b = jnp.concatenate([sins[4], sins[5]], 0).astype(cdt)
+
+            h1 = jax.nn.relu(mm(p["w_in"], emb_a) + p["b_in"]).astype(cdt)
+            h2 = jax.nn.relu(mm(p["w_mid1"], h1) + p["b_mid1"]).astype(cdt)
+            h3 = jax.nn.relu(mm(p["w_cat_h"], h2) + mm(p["w_cat_x"], emb_a)
+                             + p["b_cat"]).astype(cdt)
+            h4 = jax.nn.relu(mm(p["w_mid2"], h3) + p["b_mid2"]).astype(cdt)
+            alpha = (mm(p["w_alpha"], h4) + p["b_alpha"]) * 10.0   # [OG,T]
+            cact = jax.nn.relu(mm(p["w_col_h"], h4)
+                               + mm(p["w_col_x"], emb_b)
+                               + p["b_col"]).astype(cdt)
+            logits = mm(p["w_out"], cact) + p["b_out"]             # [3*OG,T]
+            color = jax.nn.sigmoid(logits)
+
+            # ---------------- render + losses (f32) ----------------
+            occ = jax.nn.sigmoid(alpha)
+            # 1 - occ + 1e-10 can const-fold to exactly 0 at occ == 1 under
+            # some compilation paths; clamp so the cumprod backward's
+            # division stays finite (the reference's intended epsilon).
+            free = jnp.maximum(1.0 - occ + 1e-10, 1e-10)
+            cp = jnp.ones((OG, R_TILE), f32)
+            cps, terms = [], []
+            for s in range(S):
+                cps.append(cp)
+                terms.append(tile(occ, s) * cp)
+                cp = cp * tile(free, s)
+            RD = sum(terms[s] * tile(z, s) for s in range(S))
+            RO = sum(terms)
+            var = sum(terms[s] * (tile(z, s) - RD) ** 2 for s in range(S))
+            info = 1.0 / (jnp.sqrt(var) + 1e-4)
+            RC = [sum(terms[s] * tile(color[c * OG:(c + 1) * OG], s)
+                      for s in range(S)) for c in range(3)]
+
+            dep = dep_ref[0, idx]
+            mo = mo_ref[0, idx]
+            msm = ms_ref[0, idx]
+            md = md_ref[0, idx]
+            gtc = col_ref[0, idx]                              # [3*OG, 128]
+            w_d, w_c, w_o = w3[0:OG], w3[OG:2 * OG], w3[2 * OG:3 * OG]
+
+            res_d = RD - dep
+            res_o = RO - mo
+            res_c = [RC[c] - gtc[c * OG:(c + 1) * OG] for c in range(3)]
+            ld = jnp.sum(jnp.abs(res_d) * md * info, 1, keepdims=True) * w_d
+            lc = sum(jnp.sum(jnp.abs(res_c[c]) * mo, 1, keepdims=True)
+                     for c in range(3)) * w_c
+            lo = jnp.sum(jnp.abs(res_o) * msm, 1, keepdims=True) * w_o
+            lobj = ld + cs * lc + osc * lo                     # [OG, 1]
+
+            # ---------------- backward ----------------
+            if "bwdall" in ablate:  # profiling ablation: fwd+loss only
+                return {n: jnp.zeros(shapes[n], f32) + lobj[0, 0]
+                        for n in P_NAMES}, lobj
+            dRD = jnp.sign(res_d) * md * info * w_d
+            dRO = jnp.sign(res_o) * msm * (w_o * osc)
+            dRC = [jnp.sign(res_c[c]) * mo * (w_c * cs) for c in range(3)]
+
+            dterm = [dRD * tile(z, s) + dRO
+                     + sum(dRC[c] * tile(color[c * OG:(c + 1) * OG], s)
+                           for c in range(3))
+                     for s in range(S)]
+            # docc_s = dterm_s*cp_s - (sum_{k>s} dterm_k*term_k)/free_s
+            suf = jnp.zeros((OG, R_TILE), f32)
+            dalpha_tiles = [None] * S
+            for s in range(S - 1, -1, -1):
+                occ_s = tile(occ, s)
+                docc = dterm[s] * cps[s] - suf / tile(free, s)
+                dalpha_tiles[s] = docc * occ_s * (1.0 - occ_s) * 10.0
+                suf = suf + dterm[s] * terms[s]
+            dalpha = jnp.concatenate(dalpha_tiles, 1)          # [OG, T]
+            dcolor = jnp.concatenate(
+                [jnp.concatenate([dRC[c] * terms[s] for s in range(S)], 1)
+                 for c in range(3)], 0)                        # [3*OG, T]
+            dlogits = dcolor * color * (1.0 - color)
+
+            da_c = dalpha.astype(cdt)
+            dl_c = dlogits.astype(cdt)
+
+            g = {}
+            g["w_out"] = mmT(dl_c, cact)
+            g["b_out"] = jnp.sum(dlogits, 1, keepdims=True)
+            dc = mTv(p["w_out"], dl_c) * pos(cact)
+            dc_c = dc.astype(cdt)
+            g["w_col_h"] = mmT(dc_c, h4)
+            g["w_col_x"] = mmT(dc_c, emb_b)
+            g["b_col"] = jnp.sum(dc, 1, keepdims=True)
+            g["w_alpha"] = mmT(da_c, h4)
+            g["b_alpha"] = jnp.sum(dalpha, 1, keepdims=True)
+            dh4 = (mTv(p["w_col_h"], dc_c)
+                   + mTv(p["w_alpha"], da_c)) * pos(h4)
+            dh4_c = dh4.astype(cdt)
+            g["w_mid2"] = mmT(dh4_c, h3)
+            g["b_mid2"] = jnp.sum(dh4, 1, keepdims=True)
+            dh3 = mTv(p["w_mid2"], dh4_c) * pos(h3)
+            dh3_c = dh3.astype(cdt)
+            g["w_cat_h"] = mmT(dh3_c, h2)
+            g["w_cat_x"] = mmT(dh3_c, emb_a)
+            g["b_cat"] = jnp.sum(dh3, 1, keepdims=True)
+            dh2 = mTv(p["w_cat_h"], dh3_c) * pos(h2)
+            dh2_c = dh2.astype(cdt)
+            g["w_mid1"] = mmT(dh2_c, h1)
+            g["b_mid1"] = jnp.sum(dh2, 1, keepdims=True)
+            dh1 = mTv(p["w_mid1"], dh2_c) * pos(h1)
+            dh1_c = dh1.astype(cdt)
+            g["w_in"] = mmT(dh1_c, emb_a)
+            g["b_in"] = jnp.sum(dh1, 1, keepdims=True)
+
+            demb_a = mTv(p["w_in"], dh1_c) + mTv(p["w_cat_x"], dh3_c)
+            if "bwd" in ablate:   # profiling ablation: cheap fake grads
+                return {n: jnp.zeros(shapes[n], f32) + lobj[0, 0]
+                        for n in P_NAMES}, lobj
+            demb_b = mTv(p["w_col_x"], dc_c)
+            # xs rows: band-0 routes xs grads into the structural identity
+            # rows; bands 1..5 have zero weight columns there, so their
+            # demb xs rows are exactly 0 and need no masking. The identity
+            # and junk rows of g["dirs"] are masked before Adam anyway.
+            dproj = jnp.where(xsrow, demb_a[0:DG], coss[0] * _PI
+                              * demb_a[0:DG])
+            for k in range(1, 6):
+                blk = demb_a[k * DG:(k + 1) * DG] if k < 4 else \
+                    demb_b[(k - 4) * DG:(k - 3) * DG]
+                fq = _PI * np.float32(2.0 ** k)
+                dproj = dproj + fq * coss[k] * blk
+            g["dirs"] = jax.lax.dot_general(
+                dproj.astype(cdt), xs.astype(cdt), (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+            return g, lobj
+
+        def iteration(it, _):
+            p = {n: pout[k][0] for k, n in enumerate(P_NAMES)}
+            w3 = wmul_ref[0, it]                               # [6*OG, 1]
+            g, lobj = chunk_grads(p, it * NC, w3)
+            for ch in range(1, NC):
+                g2, l2 = chunk_grads(p, it * NC + ch, w3)
+                g = {n: g[n] + g2[n] for n in P_NAMES}
+                lobj = lobj + l2
+            loss_ref[0] = loss_ref[0] + jnp.where(coli_og == it, lobj, 0.0)
+
+            # ---------------- masked AdamW ----------------
+            if "adam" in ablate:    # profiling ablation: write grads as p
+                for k, n in enumerate(P_NAMES):
+                    pout[k][0] = pout[k][0] + 1e-30 * g[n]
+                return 0
+            c1v = w3[3 * OG:4 * OG]                            # [OG, 1]
             c2v = w3[4 * OG:5 * OG]
             actv = w3[5 * OG:6 * OG]
-
-            def expand(rows: int, mode: str):
-                ri = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-                if mode == "dirs":
-                    ro = ri // DPG
-                elif mode == "head":
-                    ro = ri % OG
-                else:
-                    ro = ri // h
-                ci = jax.lax.broadcasted_iota(jnp.int32, (rows, OG), 1)
-                oh = (ro == ci).astype(f32)                      # [rows, OG]
-                def dotv(vec):
-                    return jnp.dot(oh, vec, preferred_element_type=f32)
-                return dotv(c1v), dotv(c2v), dotv(actv)
-
-            rowvecs = {
-                "div": expand(HG, "div"),
-                "dirs": expand(DG, "dirs"),
-                "alpha": (c1v, c2v, actv),
-                "head": expand(3 * OG, "head"),
-            }
-
-            def cls(n):
-                if n == "dirs":
-                    return "dirs"
-                if n in ("w_alpha", "b_alpha"):
-                    return "alpha"
-                if n in ("w_out", "b_out"):
-                    return "head"
-                return "div"
-
+            rowvecs = {}
+            for mode, oh in ohs.items():
+                rowvecs[mode] = (
+                    jnp.dot(oh, c1v, preferred_element_type=f32),
+                    jnp.dot(oh, c2v, preferred_element_type=f32),
+                    jnp.dot(oh, actv, preferred_element_type=f32))
             for k, n in enumerate(P_NAMES):
-                grad = gscr[k][:] if n_chunks > 1 else g[n]
-                bm = blockmask(n)
                 c1r, c2r, actr = rowvecs[cls(n)]
-                upd_ok = (actr > 0) & bm
-                gg = grad * jnp.where(upd_ok, 1.0, 0.0)
+                upd_ok = (actr > 0) & masks[n]
+                gg = g[n] * jnp.where(upd_ok, 1.0, 0.0)
                 po = pout[k][0]
                 mo_ = mout[k][0]
                 vo = vout[k][0]
@@ -512,6 +553,9 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
                 pout[k][0] = jnp.where(upd_ok, pn, po)
                 mout[k][0] = jnp.where(upd_ok, mn, mo_)
                 vout[k][0] = jnp.where(upd_ok, vn, vo)
+            return 0
+
+        jax.lax.fori_loop(0, n_iter, iteration, 0)
 
     return kernel
 
@@ -522,9 +566,12 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
 
 
 def _prepare_batch(batch: dict, scale, active, step, n_iter: int,
-                   n_per: int, G: int, lr_unused=None):
-    """Sampler output -> kernel operand dict (all leading dims flattened to
-    3-D for Mosaic-friendly BlockSpecs)."""
+                   n_per: int, G: int):
+    """Sampler output -> kernel operand dict.
+
+    ``batch`` carries per-ray origins/dirs (world frame) and per-sample
+    depths z; the kernel builds the sample points in-VMEM (o + z*d, both
+    pre-divided here by the per-object PE scale)."""
     f32 = jnp.float32
     cap = batch["depth"].shape[0]
     S = batch["z"].shape[-1]
@@ -564,39 +611,44 @@ def _prepare_batch(batch: dict, scale, active, step, n_iter: int,
     adamv = jnp.pad(adamv, ((0, 0), (0, 0), (0, 0), (0, OG - G)))
 
     wmul = jnp.concatenate([wm, adamv], axis=2)                     # ng,NI,6,8
-    wmul = wmul.reshape(ng * n_iter, 6 * OG, 1)
+    wmul = wmul.reshape(ng, n_iter, 6 * OG, 1)
 
     def ray_tiles(a):
-        """[cap, NI*n_per] -> [ng*NI*NC, OG, 128]"""
+        """[cap, NI*n_per] -> [ng, NI*NC, OG, 128]"""
         a = pad_rays(a)
         a = a.reshape(ng, G, n_iter, n_chunks, R_TILE)
         a = a.transpose(0, 2, 3, 1, 4)
         a = jnp.pad(a, ((0, 0),) * 3 + ((0, OG - G), (0, 0)))
-        return a.reshape(ng * n_iter * n_chunks, OG, R_TILE)
+        return a.reshape(ng, n_iter * n_chunks, OG, R_TILE)
 
-    xs = (batch["pts"] / scale[:, None, None, None]).astype(f32)
-    xs = pad_rays(xs)                        # [cap, NI, RP, S, 3]
-    xs = xs.reshape(ng, G, n_iter, n_chunks, R_TILE, S, 3)
-    xs = xs.transpose(0, 2, 3, 1, 6, 5, 4)   # ng,NI,NC,G,3,S,128
-    xs = xs.reshape(ng, n_iter, n_chunks, 3 * G, S * R_TILE)
-    xs = jnp.pad(xs, ((0, 0),) * 3 + ((0, XP - 3 * G), (0, 0)))
-    xs = xs.reshape(ng * n_iter * n_chunks, XP, S * R_TILE)
+    def vec3_tiles(a):
+        """[cap, NI*n_per, 3] (pre-scaled) -> [ng, NI*NC, XP, 128]"""
+        a = pad_rays(a)                          # [cap, NI, RP, 3]
+        a = a.reshape(ng, G, n_iter, n_chunks, R_TILE, 3)
+        a = a.transpose(0, 2, 3, 1, 5, 4)        # ng,NI,NC,G,3,128
+        a = a.reshape(ng, n_iter, n_chunks, 3 * G, R_TILE)
+        a = jnp.pad(a, ((0, 0),) * 3 + ((0, XP - 3 * G), (0, 0)))
+        return a.reshape(ng, n_iter * n_chunks, XP, R_TILE)
+
+    inv_s = (1.0 / scale)[:, None, None].astype(f32)
+    origins = batch["origins"].astype(f32) * inv_s
+    dirs = batch["dirs"].astype(f32) * inv_s
 
     z = pad_rays(batch["z"])                 # [cap, NI, RP, S]
     z = z.reshape(ng, G, n_iter, n_chunks, R_TILE, S)
     z = z.transpose(0, 2, 3, 1, 5, 4)        # ng,NI,NC,G,S,128
     z = z.reshape(ng, n_iter, n_chunks, G, S * R_TILE)
     z = jnp.pad(z, ((0, 0),) * 3 + ((0, OG - G), (0, 0)))
-    z = z.reshape(ng * n_iter * n_chunks, OG, S * R_TILE)
+    z = z.reshape(ng, n_iter * n_chunks, OG, S * R_TILE)
 
     gtc = pad_rays(batch["rgb"])             # [cap, NI, RP, 3]
     gtc = gtc.reshape(ng, G, n_iter, n_chunks, R_TILE, 3)
     gtc = gtc.transpose(0, 2, 3, 5, 1, 4)    # ng,NI,NC,3,G,128
     gtc = jnp.pad(gtc, ((0, 0),) * 4 + ((0, OG - G), (0, 0)))
-    gtc = gtc.reshape(ng * n_iter * n_chunks, 3 * OG, R_TILE)
+    gtc = gtc.reshape(ng, n_iter * n_chunks, 3 * OG, R_TILE)
 
     return {
-        "xs": xs, "z": z,
+        "o": vec3_tiles(origins), "d": vec3_tiles(dirs), "z": z,
         "dep": ray_tiles(batch["depth"]),
         "gtc": gtc,
         "mo": ray_tiles(mask_obj.reshape(cap, -1)),
@@ -607,86 +659,194 @@ def _prepare_batch(batch: dict, scale, active, step, n_iter: int,
     }
 
 
-def fused_bank_frame(bank: BankState, batch: dict, n_iter: int, n_per: int,
-                     G: int, lr: float, wd: float,
-                     color_scaling: float = 5.0,
-                     opacity_scaling: float = 10.0,
-                     bf16: bool = False,
-                     interpret: bool | None = None):
-    """Run the full per-frame optimisation of ``bank`` in one Pallas kernel.
+@flax.struct.dataclass
+class PreparedBank:
+    """A bank held persistently in the kernel's prepared block layout.
 
-    batch: sampler output ({rgb, depth, state, valid, z, pts}, rays ordered
-    iteration-major with ``n_per`` rays per iteration). Returns
-    (updated bank, per-slot per-iteration losses [cap, n_iter]).
+    The training path converts a ``BankState`` to this form ONCE (and back
+    only for meshing / eval / checkpointing): the prepare/unprepare scatter
+    transforms cost ~6 ms/frame at the 100-object workload when done per
+    frame. 3 x 17 prepared tensors; donation-friendly enough (~100 leaves).
+    """
+    p: dict
+    m: dict
+    v: dict
+    step: jax.Array    # [cap]
+    active: jax.Array  # [cap]
+    scale: jax.Array   # [cap]
+    spec: object = flax.struct.field(pytree_node=False)
+    G: int = flax.struct.field(pytree_node=False)
+
+    @property
+    def capacity(self) -> int:
+        return self.active.shape[0]
+
+
+def prepare_bank(bank: BankState, G: int) -> PreparedBank:
+    return PreparedBank(
+        p=prepare_params(bank.flat, bank.spec, G, with_identity=True),
+        m=prepare_params(bank.m, bank.spec, G, with_identity=False),
+        v=prepare_params(bank.v, bank.spec, G, with_identity=False),
+        step=bank.step, active=bank.active, scale=bank.scale,
+        spec=bank.spec, G=G)
+
+
+def unprepare_bank(pb: PreparedBank) -> BankState:
+    return BankState(
+        flat=unprepare_params(pb.p, pb.spec, pb.G),
+        m=unprepare_params(pb.m, pb.spec, pb.G),
+        v=unprepare_params(pb.v, pb.spec, pb.G),
+        step=pb.step, active=pb.active, scale=pb.scale, spec=pb.spec)
+
+
+def fused_frame_prepared(pb: PreparedBank, batch: dict, n_iter: int,
+                         n_per: int, lr: float, wd: float,
+                         color_scaling: float = 5.0,
+                         opacity_scaling: float = 10.0,
+                         bf16: bool = True,
+                         interpret: bool | None = None,
+                         _ablate: frozenset = frozenset()):
+    """One frame's full optimisation of a prepared bank in one pallas_call.
+
+    batch: sampler output ({rgb, depth, state, valid, z, origins, dirs},
+    rays iteration-major, ``n_per`` rays per iteration). Returns
+    (updated PreparedBank, per-slot per-iteration losses [cap, n_iter]).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    cap = bank.capacity
-    h = bank.spec.hidden
+    G = pb.G
+    cap = pb.capacity
+    h = pb.spec.hidden
     assert cap % G == 0, (cap, G)
     assert n_iter <= R_TILE, n_iter
     ng = cap // G
     shapes = group_layout(G, h)
     f32 = jnp.float32
 
-    prep_p = prepare_params(bank.flat, bank.spec, G, with_identity=True)
-    prep_m = prepare_params(bank.m, bank.spec, G, with_identity=False)
-    prep_v = prepare_params(bank.v, bank.spec, G, with_identity=False)
-    b = _prepare_batch(batch, bank.scale, bank.active, bank.step,
-                       n_iter, n_per, G)
+    b = _prepare_batch(batch, pb.scale, pb.active, pb.step, n_iter, n_per, G)
     S, n_chunks, XP = b["S"], b["n_chunks"], b["XP"]
     NI, NC = n_iter, n_chunks
     T = S * R_TILE
 
     kernel = _make_kernel(G, h, S, NI, NC, lr, wd,
-                          color_scaling, opacity_scaling, bf16)
+                          color_scaling, opacity_scaling, bf16, _ablate)
 
     def pspec(shape):
-        return pl.BlockSpec((1,) + shape, lambda o, i, c: (o, 0, 0),
+        return pl.BlockSpec((1,) + shape, lambda g: (g, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def bspec(shape):
-        return pl.BlockSpec(
-            (1,) + shape, lambda o, i, c: (o * NI * NC + i * NC + c, 0, 0),
-            memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, NI * NC) + shape, lambda g: (g, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
 
-    wspec = pl.BlockSpec((1, 6 * OG, 1), lambda o, i, c: (o * NI + i, 0, 0),
+    wspec = pl.BlockSpec((1, NI, 6 * OG, 1), lambda g: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM)
 
     param_specs = [pspec(shapes[n]) for n in P_NAMES]
     in_specs = (param_specs * 3
-                + [bspec((XP, T)), bspec((OG, T)), bspec((OG, R_TILE)),
-                   bspec((3 * OG, R_TILE)), bspec((OG, R_TILE)),
-                   bspec((OG, R_TILE)), bspec((OG, R_TILE)), wspec])
+                + [bspec((XP, R_TILE)), bspec((XP, R_TILE)), bspec((OG, T)),
+                   bspec((OG, R_TILE)), bspec((3 * OG, R_TILE)),
+                   bspec((OG, R_TILE)), bspec((OG, R_TILE)),
+                   bspec((OG, R_TILE)), wspec])
     out_specs = (param_specs * 3
-                 + [pl.BlockSpec((1, OG, R_TILE), lambda o, i, c: (o, 0, 0),
+                 + [pl.BlockSpec((1, OG, R_TILE), lambda g: (g, 0, 0),
                                  memory_space=pltpu.VMEM)])
     out_shape = ([jax.ShapeDtypeStruct((ng,) + shapes[n], f32)
                   for n in P_NAMES] * 3
                  + [jax.ShapeDtypeStruct((ng, OG, R_TILE), f32)])
-    scratch = ([pltpu.VMEM(shapes[n], f32) for n in P_NAMES]
-               if n_chunks > 1 else [])
 
     outs = pl.pallas_call(
-        kernel, grid=(ng, NI, NC),
+        kernel, grid=(ng,),
         in_specs=in_specs, out_specs=out_specs, out_shape=out_shape,
-        scratch_shapes=scratch, interpret=interpret,
-    )(*[prep_p[n] for n in P_NAMES], *[prep_m[n] for n in P_NAMES],
-      *[prep_v[n] for n in P_NAMES],
-      b["xs"], b["z"], b["dep"], b["gtc"], b["mo"], b["ms"], b["md"],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # params+moments x6 + a group's full-frame ray blocks exceed the
+            # 16 MiB default scoped-vmem budget; v5e has 128 MiB VMEM.
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*[pb.p[n] for n in P_NAMES], *[pb.m[n] for n in P_NAMES],
+      *[pb.v[n] for n in P_NAMES],
+      b["o"], b["d"], b["z"], b["dep"], b["gtc"], b["mo"], b["ms"], b["md"],
       b["wmul"])
 
     np_ = len(P_NAMES)
-    new_p = dict(zip(P_NAMES, outs[0:np_]))
-    new_m = dict(zip(P_NAMES, outs[np_:2 * np_]))
-    new_v = dict(zip(P_NAMES, outs[2 * np_:3 * np_]))
-    loss_out = outs[3 * np_]                                   # [ng, OG, 128]
-
-    new_bank = bank.replace(
-        flat=unprepare_params(new_p, bank.spec, G),
-        m=unprepare_params(new_m, bank.spec, G),
-        v=unprepare_params(new_v, bank.spec, G),
-        step=jnp.where(bank.active, bank.step + n_iter, bank.step),
+    new_pb = pb.replace(
+        p=dict(zip(P_NAMES, outs[0:np_])),
+        m=dict(zip(P_NAMES, outs[np_:2 * np_])),
+        v=dict(zip(P_NAMES, outs[2 * np_:3 * np_])),
+        step=jnp.where(pb.active, pb.step + n_iter, pb.step),
     )
+    loss_out = outs[3 * np_]                                   # [ng, OG, 128]
     losses = loss_out[:, :G, :n_iter].reshape(cap, n_iter)
-    return new_bank, losses
+    return new_pb, losses
+
+
+def fused_bank_frame(bank: BankState, batch: dict, n_iter: int, n_per: int,
+                     G: int, lr: float, wd: float,
+                     color_scaling: float = 5.0,
+                     opacity_scaling: float = 10.0,
+                     bf16: bool = False,
+                     interpret: bool | None = None):
+    """Flat-bank convenience wrapper: prepare -> fused frame -> unprepare.
+
+    The product path holds banks prepared across frames and calls
+    ``fused_frame_prepared`` directly; this wrapper serves tests and
+    one-shot use. ``batch`` needs origins/dirs (world rays); a legacy
+    ``pts`` key is accepted and decomposed is NOT supported — sampler
+    emits rays.
+    """
+    pb = prepare_bank(bank, G)
+    pb, losses = fused_frame_prepared(
+        pb, batch, n_iter, n_per, lr, wd, color_scaling, opacity_scaling,
+        bf16, interpret)
+    return unprepare_bank(pb), losses
+
+
+def _activate_prepared_j(pb: PreparedBank, group: jax.Array, j: int,
+                         fresh_flat: jax.Array, scale, slot) -> PreparedBank:
+    """Scatter one freshly initialised object's params into group ``group``
+    at intra-group position ``j`` (static), zeroing its Adam moments."""
+    idx = _prep_indices(pb.G, pb.spec.hidden)
+    pe, mlp = pb.spec.unflatten(fresh_flat)
+    src = _source_views(pe, mlp)
+    new_p, new_m, new_v = dict(pb.p), dict(pb.m), dict(pb.v)
+    G = pb.G
+    for name in P_NAMES:
+        rows, cols, sshape = idx[name]
+        rr = jnp.asarray(
+            np.broadcast_to(rows, (G,) + sshape)[j].reshape(-1))
+        cc = jnp.asarray(
+            np.broadcast_to(cols, (G,) + sshape)[j].reshape(-1))
+        vals = src[name].reshape(-1)
+        for store, new_vals in ((new_p, vals), (new_m, 0.0), (new_v, 0.0)):
+            cur = jax.lax.dynamic_index_in_dim(store[name], group, 0,
+                                               keepdims=False)
+            cur = cur.at[rr, cc].set(new_vals)
+            store[name] = jax.lax.dynamic_update_index_in_dim(
+                store[name], cur, group, 0)
+    return pb.replace(
+        p=new_p, m=new_m, v=new_v,
+        step=pb.step.at[slot].set(0),
+        active=pb.active.at[slot].set(True),
+        scale=pb.scale.at[slot].set(scale))
+
+
+@lru_cache(maxsize=32)
+def _activate_prepared_jit(G: int, hidden: int, j: int):
+    from vmap_tpu.core.bank import _fresh_flat, BankSpec
+    spec = BankSpec.create(hidden)
+
+    def fn(pb, group, key, scale, slot):
+        fresh = _fresh_flat(key, spec)
+        return _activate_prepared_j(pb, group, j, fresh, scale, slot)
+
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+def activate_slot_prepared(pb: PreparedBank, slot: int, key: jax.Array,
+                           scale) -> PreparedBank:
+    """Prepared-layout counterpart of bank.activate_slot (host-level ``slot``;
+    compiles at most G kernel variants)."""
+    g, j = divmod(int(slot), pb.G)
+    fn = _activate_prepared_jit(pb.G, pb.spec.hidden, j)
+    return fn(pb, jnp.int32(g), key, jnp.float32(scale), jnp.int32(slot))
