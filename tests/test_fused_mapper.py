@@ -1,0 +1,96 @@
+"""End-to-end parity of the fused (PreparedBank) Mapper path vs the XLA
+scan path, on CPU via the Pallas interpreter.
+
+Same config + seed => identical RNG draws => the two paths must produce
+matching losses and matching flat bank states (f32, interpret mode).
+"""
+
+import numpy as np
+import pytest
+
+from vmap_tpu.config import Config
+from vmap_tpu.core.mapper import FrameSample, Mapper
+
+
+def tiny_cfg(fused):
+    c = Config()
+    c.W = c.width = 64
+    c.H = c.height = 48
+    c.fx = c.fy = 60.0
+    c.cx, c.cy = 31.5, 23.5
+    c.max_n_models = 8
+    c.hidden_feature_size = 32
+    c.hidden_feature_size_bg = 32
+    c.n_iter_per_frame = 3
+    c.win_size = 2
+    c.n_samples_per_frame = 8
+    c.win_size_bg = 2
+    c.n_samples_per_frame_bg = 16
+    c.frame_pool_size = 8
+    c.keyframe_buffer_size = 5
+    c.do_bg = True
+    c.fused_train_step = fused
+    return c
+
+
+def synth_frame(fid, W, H, rng):
+    img = rng.integers(0, 255, (W, H, 3)).astype(np.uint8)
+    depth = rng.uniform(0.5, 3.0, (W, H)).astype(np.float32)
+    inst = np.zeros((W, H), np.int16)
+    inst[10:30, 10:30] = 1
+    inst[35:55, 20:40] = 2
+    inst[5:12, 35:45] = -1
+    t = np.eye(4, dtype=np.float32)
+    t[0, 3] = 0.05 * fid
+    bbox = {0: [0, W, 0, H], 1: [10, 30, 10, 30], 2: [35, 55, 20, 40]}
+    return FrameSample(image=img, depth=depth, inst=inst, bbox_dict=bbox,
+                       t_wc=t, frame_id=fid)
+
+
+def run(fused, n_frames=2):
+    m = Mapper(tiny_cfg(fused))
+    assert m.use_fused == bool(fused)
+    rng = np.random.default_rng(7)
+    losses = []
+    for fid in range(n_frames):
+        metrics = m.process_frame(synth_frame(fid, 64, 48, rng))
+        losses.append(float(metrics["loss"]))
+    return m, losses
+
+
+def test_fused_mapper_matches_xla():
+    m_x, loss_x = run(False)
+    m_f, loss_f = run(True)
+    np.testing.assert_allclose(loss_f, loss_x, rtol=5e-4)
+    # the fused kernel's sin ladder and o/s + z*(d/s) point construction
+    # round differently from the XLA path; a handful of params drift ~5e-4
+    # after a few Adam steps (sign flips near zero gradients).
+    np.testing.assert_allclose(np.asarray(m_f.bank_obj.flat),
+                               np.asarray(m_x.bank_obj.flat),
+                               rtol=1e-2, atol=6e-4)
+    np.testing.assert_allclose(np.asarray(m_f.bank_bg.flat),
+                               np.asarray(m_x.bank_bg.flat),
+                               rtol=1e-2, atol=6e-4)
+    np.testing.assert_array_equal(np.asarray(m_f.bank_obj.active),
+                                  np.asarray(m_x.bank_obj.active))
+    np.testing.assert_array_equal(np.asarray(m_f.bank_obj.step),
+                                  np.asarray(m_x.bank_obj.step))
+
+
+def test_fused_activation_after_training():
+    """Objects appearing later activate into the prepared bank directly."""
+    m = Mapper(tiny_cfg(True))
+    rng = np.random.default_rng(3)
+    m.process_frame(synth_frame(0, 64, 48, rng))
+    s = synth_frame(1, 64, 48, rng)
+    s.inst[40:60, 5:15] = 3
+    s.bbox_dict[3] = [40, 60, 5, 15]
+    m.process_frame(s)
+    assert 3 in m.registry
+    slot = m.registry[3].slot
+    bank = m.bank_obj
+    assert bool(bank.active[slot])
+    assert int(bank.step[slot]) == m.cfg.n_iter_per_frame
+    # fresh slot params are finite and non-zero
+    flat = np.asarray(bank.flat[slot])
+    assert np.isfinite(flat).all() and np.abs(flat).max() > 0

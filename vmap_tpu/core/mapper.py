@@ -28,6 +28,8 @@ from vmap_tpu.core.keyframe import KeyframeTable
 from vmap_tpu.core.pool import FramePool
 from vmap_tpu.core.step import StepStatics, make_frame_step
 
+_UNPREPARE_JIT = None
+
 
 @dataclass
 class FrameSample:
@@ -56,18 +58,62 @@ class Mapper:
         self.hidden = cfg.hidden_feature_size
         self.hidden_bg = cfg.hidden_feature_size_bg
 
+        # multi-device: tpu.mesh_axes (e.g. {"obj": 4, "data": 2}) builds an
+        # ("obj", "data") mesh; banks/keyframe tables shard along the object
+        # axis (expert-parallel — objects are independent), the pool and bg
+        # bank replicate, and the bg ray batch shards along "data" (XLA
+        # psums the bg grads). SURVEY §2.2.
+        self.mesh = None
+        if cfg.mesh_axes:
+            from vmap_tpu.parallel.sharding import mesh_from_axes
+            self.mesh = mesh_from_axes(cfg.mesh_axes)
+        if self.mesh is not None and self.capacity % self.mesh.shape["obj"]:
+            raise ValueError(
+                f"max_n_models={self.capacity} must divide evenly over the "
+                f"obj mesh axis ({self.mesh.shape['obj']})")
+
         key = jax.random.PRNGKey(cfg.seed)
         key, k_obj, k_bg = jax.random.split(key, 3)
         self.key = key
-        self.bank_obj = bank_lib.init_bank(k_obj, self.capacity, self.hidden,
-                                           default_scale=cfg.obj_scale)
-        self.bank_bg = (bank_lib.init_bank(k_bg, 1, self.hidden_bg,
-                                           default_scale=cfg.bg_scale)
-                        if cfg.do_bg else None)
+        self._bank_obj = bank_lib.init_bank(k_obj, self.capacity, self.hidden,
+                                            default_scale=cfg.obj_scale)
+        self._bank_bg = (bank_lib.init_bank(k_bg, 1, self.hidden_bg,
+                                            default_scale=cfg.bg_scale)
+                         if cfg.do_bg else None)
+
+        # fused mode: banks live on-device in the kernel's prepared block
+        # layout across frames (kernels/train_step.py PreparedBank); the
+        # flat BankState views used by meshing/eval/checkpointing are
+        # materialised lazily and cached until the next training step.
+        # The fused Pallas kernel is a single-chip program — on a multi-device
+        # mesh the sharded XLA step runs instead (each device trains its
+        # object shard SPMD).
+        self.use_fused = cfg.fused_enabled() and self.mesh is None
+        self._pb_obj = self._pb_bg = None
+        if self.use_fused:
+            from vmap_tpu.core.step import pick_group
+            from vmap_tpu.kernels.train_step import prepare_bank
+            self._pb_obj = prepare_bank(
+                self._bank_obj, pick_group(self.capacity, self.hidden))
+            self._bank_obj = None
+            if cfg.do_bg:
+                self._pb_bg = prepare_bank(
+                    self._bank_bg, pick_group(1, self.hidden_bg))
+                self._bank_bg = None
 
         self.pool = FramePool(cfg.frame_pool_size, cfg.W, cfg.H)
         self.obj_table = KeyframeTable(self.capacity, cfg.keyframe_buffer_size)
         self.bg_table = KeyframeTable(1, cfg.keyframe_buffer_size)
+
+        if self.mesh is not None:
+            from vmap_tpu.parallel.sharding import place_bank, place_replicated
+            self._bank_obj = place_bank(self.mesh, self._bank_obj, "obj")
+            if self._bank_bg is not None:
+                self._bank_bg = place_bank(self.mesh, self._bank_bg, None)
+            # pool arrays replicate; the donated _write_frame calls keep the
+            # replicated sharding across frame ingests
+            self.pool.packed, self.pool.twc = place_replicated(
+                self.mesh, (self.pool.packed, self.pool.twc))
 
         self.registry: dict[int, ObjectRecord] = {}   # obj_id -> record
         self._slot_objid = np.full(self.capacity, -(10 ** 6), np.int32)
@@ -87,6 +133,9 @@ class Mapper:
             lr=cfg.learning_rate, wd=cfg.weight_decay,
             color_scaling=cfg.color_scaling, opacity_scaling=cfg.opacity_scaling,
             max_deg=cfg.n_unidir_funcs, compute_dtype=cfg.compute_dtype,
+            use_fused_frame=self.use_fused,
+            shard_data_axis=(self.mesh is not None
+                             and self.mesh.shape["data"] > 1),
         )
         self._step_fn = make_frame_step(self.statics)
         self._forloop_step_fn = None  # built lazily (ablation baseline)
@@ -98,6 +147,59 @@ class Mapper:
             donate_argnums=(0,)) if cfg.do_bg else None)
 
     # ------------------------------------------------------------------ #
+    # Flat-bank views. In fused mode the prepared form is the truth; the
+    # flat view is unprepared on demand (meshing/eval/ckpt cadence) and any
+    # write-back re-prepares.
+    @staticmethod
+    def _unprepare_jit():
+        global _UNPREPARE_JIT
+        if _UNPREPARE_JIT is None:
+            from vmap_tpu.kernels.train_step import unprepare_bank
+            _UNPREPARE_JIT = jax.jit(unprepare_bank)
+        return _UNPREPARE_JIT
+
+    @property
+    def bank_obj(self):
+        if not self.use_fused:
+            return self._bank_obj
+        if self._bank_obj is None:
+            self._bank_obj = self._unprepare_jit()(self._pb_obj)
+        return self._bank_obj
+
+    @bank_obj.setter
+    def bank_obj(self, bank):
+        if self.use_fused and bank is not None:
+            from vmap_tpu.kernels.train_step import prepare_bank
+            self._pb_obj = prepare_bank(bank, self._pb_obj.G)
+        if self.mesh is not None and bank is not None:
+            from vmap_tpu.parallel.sharding import place_bank
+            bank = place_bank(self.mesh, bank, "obj")
+        self._bank_obj = bank
+
+    @property
+    def bank_bg(self):
+        if not (self.use_fused and self.cfg.do_bg):
+            return self._bank_bg
+        if self._bank_bg is None:
+            self._bank_bg = self._unprepare_jit()(self._pb_bg)
+        return self._bank_bg
+
+    @bank_bg.setter
+    def bank_bg(self, bank):
+        if self.use_fused and bank is not None:
+            from vmap_tpu.kernels.train_step import prepare_bank
+            self._pb_bg = prepare_bank(bank, self._pb_bg.G)
+        if self.mesh is not None and bank is not None:
+            from vmap_tpu.parallel.sharding import place_bank
+            bank = place_bank(self.mesh, bank, None)
+        self._bank_bg = bank
+
+    def _invalidate_flat_cache(self):
+        if self.use_fused:
+            self._bank_obj = None
+            if self.cfg.do_bg:
+                self._bank_bg = None
+
     def _next_key(self) -> jax.Array:
         self.key, k = jax.random.split(self.key)
         return k
@@ -107,9 +209,15 @@ class Mapper:
         if is_bg:
             rec = ObjectRecord(obj_id=0, slot=0, is_bg=True,
                                first_seen=frame_id, scale=self.cfg.bg_scale)
-            self.bank_bg = self._activate_bg(
-                self.bank_bg, jnp.int32(0), self._next_key(),
-                jnp.float32(self.cfg.bg_scale))
+            if self.use_fused:
+                from vmap_tpu.kernels.train_step import activate_slot_prepared
+                self._pb_bg = activate_slot_prepared(
+                    self._pb_bg, 0, self._next_key(), self.cfg.bg_scale)
+                self._bank_bg = None
+            else:
+                self._bank_bg = self._activate_bg(
+                    self._bank_bg, jnp.int32(0), self._next_key(),
+                    jnp.float32(self.cfg.bg_scale))
         else:
             if self._next_slot >= self.capacity:  # models full (train.py:143-145)
                 self.models_full_events += 1
@@ -118,9 +226,15 @@ class Mapper:
             self._next_slot += 1
             rec = ObjectRecord(obj_id=obj_id, slot=slot, is_bg=False,
                                first_seen=frame_id, scale=self.cfg.obj_scale)
-            self.bank_obj = self._activate_obj(
-                self.bank_obj, jnp.int32(slot), self._next_key(),
-                jnp.float32(self.cfg.obj_scale))
+            if self.use_fused:
+                from vmap_tpu.kernels.train_step import activate_slot_prepared
+                self._pb_obj = activate_slot_prepared(
+                    self._pb_obj, slot, self._next_key(), self.cfg.obj_scale)
+                self._bank_obj = None
+            else:
+                self._bank_obj = self._activate_obj(
+                    self._bank_obj, jnp.int32(slot), self._next_key(),
+                    jnp.float32(self.cfg.obj_scale))
             self._slot_objid[slot] = obj_id
         self.registry[obj_id] = rec
         return rec
@@ -191,12 +305,26 @@ class Mapper:
         self.frames_ingested += 1
 
     # ------------------------------------------------------------------ #
+    def _mesh_ctx(self):
+        """Ambient-mesh context for tracing sharded steps (needed by the
+        bare-PartitionSpec sharding constraint in core/step.py)."""
+        if self.mesh is None:
+            from contextlib import nullcontext
+            return nullcontext()
+        set_mesh = (getattr(jax.sharding, "use_mesh", None)
+                    or jax.sharding.set_mesh)
+        return set_mesh(self.mesh)
+
     def _device_tables(self):
         obj_tab = tuple(jnp.asarray(a) for a in self.obj_table.as_arrays())
         if self.cfg.do_bg:
             bg_tab = tuple(jnp.asarray(a) for a in self.bg_table.as_arrays())
         else:
             bg_tab = obj_tab  # ignored by the step when do_bg=False
+        if self.mesh is not None:
+            from vmap_tpu.parallel.sharding import place_tables
+            obj_tab = place_tables(self.mesh, obj_tab, "obj")
+            bg_tab = place_tables(self.mesh, bg_tab, None)
         return obj_tab, bg_tab
 
     def train_frame(self) -> dict:
@@ -211,10 +339,20 @@ class Mapper:
             return self._train_frame_forloop()
         obj_tab, bg_tab = self._device_tables()
         obj_ids = jnp.asarray(self._slot_objid)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            obj_ids = jax.device_put(obj_ids, NamedSharding(self.mesh, P("obj")))
         t0 = time.perf_counter()
-        self.bank_obj, self.bank_bg, metrics = self._step_fn(
-            self.bank_obj, self.bank_bg, *self.pool.arrays(),
-            obj_tab, obj_ids, bg_tab, self._next_key())
+        if self.use_fused:
+            self._pb_obj, self._pb_bg, metrics = self._step_fn(
+                self._pb_obj, self._pb_bg, *self.pool.arrays(),
+                obj_tab, obj_ids, bg_tab, self._next_key())
+            self._invalidate_flat_cache()
+        else:
+            with self._mesh_ctx():
+                self._bank_obj, self._bank_bg, metrics = self._step_fn(
+                    self._bank_obj, self._bank_bg, *self.pool.arrays(),
+                    obj_tab, obj_ids, bg_tab, self._next_key())
         metrics = {k: v for k, v in metrics.items()}
         metrics["step_time_s"] = time.perf_counter() - t0
         return metrics
@@ -297,15 +435,28 @@ class Mapper:
 
     def export_meshes(self, out_dir: str, frame_id: int) -> list[str]:
         """Export every object's mesh as
-        ``<out_dir>/frame_<f>_obj<id>.obj`` (train.py:357-360)."""
+        ``<out_dir>/frame_<f>_obj<id>.obj`` (train.py:357-360).
+
+        Objects mesh through the bank-vectorised path (one [O, chunk]
+        program per grid chunk for ALL objects, core/meshing.py
+        mesh_all_objects); the background (different bank/width) meshes
+        separately."""
         import os
+        from vmap_tpu.core import meshing
         os.makedirs(out_dir, exist_ok=True)
-        paths = []
+        meshes = meshing.mesh_all_objects(self)
         for obj_id in sorted(self.registry):
-            mesh = self.mesh_object(obj_id)
+            if self.registry[obj_id].is_bg:
+                meshes[obj_id] = self.mesh_object(obj_id)
+        paths = []
+        for obj_id in sorted(meshes):
+            mesh = meshes[obj_id]
             if mesh is None:
                 continue
             p = os.path.join(out_dir, f"frame_{frame_id}_obj{obj_id}.obj")
             mesh.export(p)
             paths.append(p)
+        if self.cfg.html_viewer and paths:
+            from vmap_tpu.utils.viewer import write_snapshot
+            write_snapshot(out_dir, meshes, frame_id)
         return paths

@@ -32,6 +32,23 @@ def make_mesh(n_devices: int | None = None, data_axis: bool = True) -> Mesh:
     return Mesh(np.array(devs).reshape(n, 1), ("obj", "data"))
 
 
+def mesh_from_axes(axes: dict) -> Mesh | None:
+    """Build the ("obj", "data") mesh described by the config's
+    ``tpu.mesh_axes`` (e.g. ``{"obj": 4, "data": 2}``). Returns None for an
+    empty/trivial spec (single-device execution)."""
+    n_obj = int(axes.get("obj", 1))
+    n_data = int(axes.get("data", 1))
+    if n_obj * n_data <= 1:
+        return None
+    devs = jax.devices()
+    if len(devs) < n_obj * n_data:
+        raise ValueError(
+            f"tpu.mesh_axes asks for obj={n_obj} x data={n_data} = "
+            f"{n_obj * n_data} devices but only {len(devs)} are visible")
+    arr = np.array(devs[: n_obj * n_data]).reshape(n_obj, n_data)
+    return Mesh(arr, ("obj", "data"))
+
+
 def _shard(mesh: Mesh, *spec) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
