@@ -77,11 +77,15 @@ def test_scannet_depth_units(tmp_path):
     assert abs(s["depth"].max() - 2.0) < 1e-4   # mm -> m
 
 
-def test_scannet_inf_pose_skips_to_next(tmp_path):
+def test_scannet_inf_pose_returns_none(tmp_path):
+    """Invalid-pose frames yield None (train.py skips None samples): O(1)
+    stack for arbitrarily long invalid runs, no duplicate frame_ids."""
     root = str(tmp_path / "scene_bad")
     _write_scannet_fixture(root, n=3, bad_pose_at=1)
     ds = ScanNetDataset(_cfg(root))
-    s = ds[1]                                    # falls through to frame 2
+    assert ds[1] is None
+    s = ds[2]                                    # next valid frame intact
+    assert s["frame_id"] == 2
     np.testing.assert_allclose(s["T"][0, 3], 0.10, atol=1e-6)
 
 

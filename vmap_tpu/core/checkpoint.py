@@ -80,49 +80,79 @@ def restore_object_into_mapper(mapper, ckpt: dict) -> None:
 
 
 # ---------------- full-state resume checkpoint -------------------------- #
-def _bank_to_numpy(bank: BankState | None):
-    if bank is None:
-        return None
-    return jax.tree.map(np.asarray, bank)
+# Format: an orbax checkpoint directory (device arrays through
+# StandardCheckpointer's atomic-rename layout) plus ``host_state.json`` —
+# keyframe tables, registry and pool accounting serialised to plain
+# JSON-able values. No pickled dataclasses anywhere: the payload survives
+# refactors of ObjectKF/ObjectRecord/KeyframeTable. Legacy round-1 ``.pkl``
+# files still load via the dispatch in ``load_full_checkpoint``.
+
+def _kf_to_plain(t) -> dict:
+    st = t.rng.getstate()
+    return {
+        "buffer_size": t.buffer_size, "keyframe_step": t.keyframe_step,
+        "pool_slot": [int(x) for x in t.pool_slot],
+        "bbox": [np.asarray(b, np.float32).tolist() for b in t.bbox],
+        "order": [int(x) for x in t.order],
+        "latest_q": [int(x) for x in t.latest_q],
+        "n_kf": int(t.n_kf), "frame_cnt": int(t.frame_cnt),
+        "kf_pointer": t.kf_pointer,
+        "buffer_full": bool(t.buffer_full),
+        "rng_state": [st[0], list(st[1]), st[2]],
+    }
+
+
+def _kf_from_plain(d: dict):
+    import random
+    from vmap_tpu.core.keyframe import ObjectKF
+    t = ObjectKF(buffer_size=int(d["buffer_size"]),
+                 keyframe_step=int(d["keyframe_step"]))
+    t.pool_slot = [int(x) for x in d["pool_slot"]]
+    t.bbox = [np.asarray(b, np.float32) for b in d["bbox"]]
+    t.order = [int(x) for x in d["order"]]
+    t.latest_q = [int(x) for x in d["latest_q"]]
+    t.n_kf = int(d["n_kf"])
+    t.frame_cnt = int(d["frame_cnt"])
+    t.kf_pointer = None if d["kf_pointer"] is None else int(d["kf_pointer"])
+    t.buffer_full = bool(d["buffer_full"])
+    t.rng = random.Random()
+    v, internal, gauss = d["rng_state"]
+    t.rng.setstate((v, tuple(internal), gauss))
+    return t
+
+
+def _table_to_plain(table) -> dict:
+    return {"capacity": table.capacity, "buffer_size": table.buffer_size,
+            "objects": {str(slot): _kf_to_plain(t)
+                        for slot, t in table.objects.items()}}
+
+
+def _table_from_plain(d: dict):
+    from vmap_tpu.core.keyframe import KeyframeTable
+    table = KeyframeTable(int(d["capacity"]), int(d["buffer_size"]))
+    table.objects = {int(s): _kf_from_plain(t)
+                     for s, t in d["objects"].items()}
+    table.mark_dirty()
+    return table
+
+
+def _registry_to_plain(registry: dict) -> dict:
+    return {str(oid): {"obj_id": r.obj_id, "slot": r.slot, "is_bg": r.is_bg,
+                       "first_seen": r.first_seen, "scale": r.scale}
+            for oid, r in registry.items()}
+
+
+def _registry_from_plain(d: dict) -> dict:
+    from vmap_tpu.core.mapper import ObjectRecord
+    return {int(oid): ObjectRecord(obj_id=int(r["obj_id"]),
+                                   slot=int(r["slot"]), is_bg=bool(r["is_bg"]),
+                                   first_seen=int(r["first_seen"]),
+                                   scale=float(r["scale"]))
+            for oid, r in d.items()}
 
 
 def save_full_checkpoint(mapper, path: str, frame_id: int) -> str:
-    os.makedirs(path, exist_ok=True)
-    state = {
-        "frame_id": frame_id,
-        "bank_obj": _bank_to_numpy(mapper.bank_obj),
-        "bank_bg": _bank_to_numpy(mapper.bank_bg),
-        "pool": {
-            "packed": np.asarray(mapper.pool.packed),
-            "twc": np.asarray(mapper.pool.twc),
-            "refcount": mapper.pool.refcount,
-            "frame_id": mapper.pool.frame_id,
-            "write_seq": mapper.pool.write_seq,
-            "seq": mapper.pool._seq,
-        },
-        "obj_table": mapper.obj_table,
-        "bg_table": mapper.bg_table,
-        "registry": mapper.registry,
-        "slot_objid": mapper._slot_objid,
-        "next_slot": mapper._next_slot,
-        "frames_ingested": mapper.frames_ingested,
-        "key": np.asarray(mapper.key),
-    }
-    file = os.path.join(path, f"state_frame_{frame_id}.pkl")
-    with open(file, "wb") as f:
-        pickle.dump(state, f)
-    meta = {"frame_id": frame_id, "n_objects": mapper.n_objects}
-    with open(os.path.join(path, "latest.json"), "w") as f:
-        json.dump(meta | {"file": file}, f)
-    return file
-
-
-def save_full_checkpoint_orbax(mapper, path: str, frame_id: int) -> str:
-    """Orbax-backed variant of the full-state checkpoint: device arrays go
-    through orbax's StandardSave (async-capable, atomic-rename layout) while
-    host bookkeeping (tables, registry, pool accounting) rides alongside as
-    a pickle. Interchangeable with the pickle backend via
-    ``load_full_checkpoint`` dispatch."""
+    """Default full-state checkpoint (orbax + JSON host state)."""
     import orbax.checkpoint as ocp
     os.makedirs(path, exist_ok=True)
     ckpt_dir = os.path.abspath(os.path.join(path, f"orbax_frame_{frame_id}"))
@@ -137,22 +167,30 @@ def save_full_checkpoint_orbax(mapper, path: str, frame_id: int) -> str:
         ckptr.save(ckpt_dir, arrays, force=True)
     host = {
         "frame_id": frame_id,
-        "obj_table": mapper.obj_table, "bg_table": mapper.bg_table,
-        "registry": mapper.registry, "slot_objid": mapper._slot_objid,
+        "obj_table": _table_to_plain(mapper.obj_table),
+        "bg_table": _table_to_plain(mapper.bg_table),
+        "registry": _registry_to_plain(mapper.registry),
+        "slot_objid": mapper._slot_objid.tolist(),
         "next_slot": mapper._next_slot,
         "frames_ingested": mapper.frames_ingested,
-        "pool_refcount": mapper.pool.refcount,
-        "pool_frame_id": mapper.pool.frame_id,
-        "pool_write_seq": mapper.pool.write_seq, "pool_seq": mapper.pool._seq,
-        "bank_obj_meta": bank_meta(mapper.bank_obj),
-        "bank_bg_meta": bank_meta(mapper.bank_bg),
+        "pool_refcount": mapper.pool.refcount.tolist(),
+        "pool_frame_id": mapper.pool.frame_id.tolist(),
+        "pool_write_seq": mapper.pool.write_seq.tolist(),
+        "pool_seq": mapper.pool._seq,
+        "bank_obj_hidden": mapper.bank_obj.spec.hidden,
+        "bank_bg_hidden": (None if mapper.bank_bg is None
+                           else mapper.bank_bg.spec.hidden),
     }
-    with open(os.path.join(ckpt_dir, "host_state.pkl"), "wb") as f:
-        pickle.dump(host, f)
+    with open(os.path.join(ckpt_dir, "host_state.json"), "w") as f:
+        json.dump(host, f)
     with open(os.path.join(path, "latest.json"), "w") as f:
         json.dump({"frame_id": frame_id, "file": ckpt_dir,
-                   "backend": "orbax"}, f)
+                   "backend": "orbax", "n_objects": mapper.n_objects}, f)
     return ckpt_dir
+
+
+# train.py and older tests used this name for the orbax backend explicitly
+save_full_checkpoint_orbax = save_full_checkpoint
 
 
 def vars_of_bank(bank: BankState) -> dict:
@@ -160,21 +198,35 @@ def vars_of_bank(bank: BankState) -> dict:
             "step": bank.step, "active": bank.active, "scale": bank.scale}
 
 
-def bank_meta(bank: BankState | None):
-    return None if bank is None else bank.spec
-
-
 def load_full_checkpoint_orbax(mapper, ckpt_dir: str) -> int:
     import orbax.checkpoint as ocp
-    with open(os.path.join(ckpt_dir, "host_state.pkl"), "rb") as f:
-        host = pickle.load(f)
+    from vmap_tpu.core.bank import BankSpec
+    host_json = os.path.join(ckpt_dir, "host_state.json")
+    if os.path.exists(host_json):
+        with open(host_json) as f:
+            host = json.load(f)
+        host["obj_table"] = _table_from_plain(host["obj_table"])
+        host["bg_table"] = _table_from_plain(host["bg_table"])
+        host["registry"] = _registry_from_plain(host["registry"])
+        host["slot_objid"] = np.asarray(host["slot_objid"], np.int32)
+        host["pool_refcount"] = np.asarray(host["pool_refcount"], np.int64)
+        host["pool_frame_id"] = np.asarray(host["pool_frame_id"], np.int64)
+        host["pool_write_seq"] = np.asarray(host["pool_write_seq"], np.int64)
+        spec_obj = BankSpec.create(int(host["bank_obj_hidden"]))
+        spec_bg = (None if host["bank_bg_hidden"] is None
+                   else BankSpec.create(int(host["bank_bg_hidden"])))
+    else:  # legacy round-1 layout: pickled host state with embedded specs
+        with open(os.path.join(ckpt_dir, "host_state.pkl"), "rb") as f:
+            host = pickle.load(f)
+        spec_obj = host["bank_obj_meta"]
+        spec_bg = host["bank_bg_meta"]
     with ocp.StandardCheckpointer() as ckptr:
         arrays = ckptr.restore(os.path.abspath(ckpt_dir))
-    mapper.bank_obj = BankState(spec=host["bank_obj_meta"],
-                                **arrays["bank_obj"])
+    import jax.numpy as jnp
+    arrays = jax.tree.map(jnp.asarray, arrays)  # host np -> device buffers
+    mapper.bank_obj = BankState(spec=spec_obj, **arrays["bank_obj"])
     mapper.bank_bg = (None if arrays["bank_bg"] is None
-                      else BankState(spec=host["bank_bg_meta"],
-                                     **arrays["bank_bg"]))
+                      else BankState(spec=spec_bg, **arrays["bank_bg"]))
     mapper.pool.packed = arrays["pool_packed"]
     mapper.pool.twc = arrays["pool_twc"]
     mapper.key = arrays["key"]

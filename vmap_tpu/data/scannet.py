@@ -59,10 +59,12 @@ class ScanNetDataset:
     def __getitem__(self, idx: int) -> dict | None:
         import cv2
         T = np.loadtxt(self.pose_paths[idx]).reshape(4, 4)
-        if not np.isfinite(T).all():  # skip to the next frame (dataset.py:220-225)
-            if idx + 1 >= len(self):
-                return None
-            return self[idx + 1]
+        if not np.isfinite(T).all():
+            # invalid-pose frames are skipped (dataset.py:220-225). Returning
+            # None (train.py skips None samples) instead of recursing into
+            # idx+1 keeps long invalid runs O(1) stack and never emits a
+            # duplicate frame_id.
+            return None
 
         depth = cv2.imread(self.depth_paths[idx], cv2.IMREAD_UNCHANGED)
         depth = np.nan_to_num(depth.astype(np.float32), nan=0.0)
