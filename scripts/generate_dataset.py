@@ -1,0 +1,83 @@
+"""Generate an RGB-D + instance dataset by ray-tracing a mesh scene.
+
+TPU-native stand-in for the reference's Habitat-Sim generation step
+(data_generation/habitat_renderer.py): renders the analytic test scene's
+ground-truth meshes (or any meshes you assemble into SceneObjects) along an
+orbit trajectory and writes the exact Replica-vMAP or ScanNet file layout
+that the loaders consume, plus GT submeshes + info_semantic.json for the
+object-level eval protocol.
+
+Usage:
+  python scripts/generate_dataset.py out_dir [--format Replica|ScanNet]
+      [--frames N] [--width W] [--height H] [--fx F] [--fy F]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def synthetic_scene_objects(fmt: str):
+    """The analytic scene (data/synthetic.py) as renderable SceneObjects.
+    Class ids are chosen so the floor folds to background in each loader:
+    Replica background classes include 40, ScanNet's include 1."""
+    from vmap_tpu.data.synthetic import SyntheticScene
+    from vmap_tpu.data_generation.settings import SceneObject
+    scene = SyntheticScene()
+    gt = scene.gt_meshes()
+    floor_cls = 40 if fmt == "Replica" else 1
+    return scene, [
+        SceneObject(gt[0], instance_id=3, class_id=floor_cls,
+                    albedo=(0.55, 0.55, 0.5)),
+        SceneObject(gt[scene.SPHERE_ID], instance_id=scene.SPHERE_ID,
+                    class_id=20, albedo=(0.85, 0.25, 0.2)),
+        SceneObject(gt[scene.BOX_ID], instance_id=scene.BOX_ID,
+                    class_id=7, albedo=(0.2, 0.4, 0.85)),
+    ]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("out_dir")
+    p.add_argument("--format", default="Replica",
+                   choices=["Replica", "ScanNet"])
+    p.add_argument("--frames", type=int, default=12)
+    p.add_argument("--width", type=int, default=80)
+    p.add_argument("--height", type=int, default=60)
+    p.add_argument("--fx", type=float, default=50.0)
+    p.add_argument("--fy", type=float, default=50.0)
+    p.add_argument("--invalid_pose_frames", type=int, nargs="*", default=[])
+    args = p.parse_args(argv)
+
+    from vmap_tpu.data_generation import (MeshRenderer, RenderSettings,
+                                          write_gt_submeshes,
+                                          write_replica_sequence,
+                                          write_scannet_sequence)
+    from vmap_tpu.data_generation.settings import orbit_trajectory
+
+    scene, objects = synthetic_scene_objects(args.format)
+    st = RenderSettings(width=args.width, height=args.height,
+                        fx=args.fx, fy=args.fy, tri_chunk=256)
+    renderer = MeshRenderer(objects, st)
+    traj = orbit_trajectory(args.frames, radius=scene.orbit_radius,
+                            height=scene.orbit_height)
+    frames = list(renderer.render_trajectory(traj))
+    if args.format == "Replica":
+        write_replica_sequence(args.out_dir, frames, traj)
+        write_gt_submeshes(os.path.join(args.out_dir, "habitat"),
+                           objects)
+    else:
+        write_scannet_sequence(args.out_dir, frames, traj,
+                               invalid_pose_frames=tuple(
+                                   args.invalid_pose_frames))
+    print(f"wrote {args.frames} frames ({args.format}) -> {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()
