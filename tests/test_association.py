@@ -104,3 +104,44 @@ def test_track_detections_class_gate():
     track_detections([mask], [9], depth, st2, FX, FY, CX, CY, np.eye(4),
                      min_pixels=100, voxel_size=0.02, class_affinity=affinity)
     assert len(st2.tracks) == 1
+
+
+def test_feature_affinity_table():
+    """FeatureAffinity: per-class embedding table drives merging."""
+    from vmap_tpu.data.association import FeatureAffinity
+    table = {7: np.array([1.0, 0.0, 0.0]),
+             8: np.array([0.96, 0.28, 0.0]),   # cos(7,8) ~ 0.96
+             9: np.array([0.0, 0.0, 1.0])}
+    aff = FeatureAffinity(table, threshold=0.9)
+    assert aff(7, 7) and aff(7, 8) and not aff(7, 9)
+    assert not aff(7, 42)  # unknown class: no feature, no merge
+
+    st = AssociationState()
+    mask, depth = _frame_with_blob(20, 140, 15, 105, depth_val=2.0)
+    track_detections([mask], [7], depth, st, FX, FY, CX, CY, np.eye(4),
+                     min_pixels=100, voxel_size=0.02, class_affinity=aff)
+    track_detections([mask], [8], depth, st, FX, FY, CX, CY, np.eye(4),
+                     min_pixels=100, voxel_size=0.02, class_affinity=aff)
+    track_detections([mask], [9], depth, st, FX, FY, CX, CY, np.eye(4),
+                     min_pixels=100, voxel_size=0.02, class_affinity=aff)
+    assert len(st.tracks) == 2  # 7 and 8 merged; 9 separate
+
+
+def test_track_detections_per_detection_features():
+    """Per-detection embeddings (the reference's CLIP branch): identical
+    features merge across different class ids; orthogonal features don't,
+    and the track feature running-averages."""
+    st = AssociationState()
+    mask, depth = _frame_with_blob(20, 140, 15, 105, depth_val=2.0)
+    f_a = np.array([1.0, 0.0], np.float32)
+    f_b = np.array([0.0, 1.0], np.float32)
+    track_detections([mask], [7], depth, st, FX, FY, CX, CY, np.eye(4),
+                     min_pixels=100, voxel_size=0.02, features=[f_a])
+    track_detections([mask], [9], depth, st, FX, FY, CX, CY, np.eye(4),
+                     min_pixels=100, voxel_size=0.02, features=[f_a])
+    assert len(st.tracks) == 1
+    track_detections([mask], [7], depth, st, FX, FY, CX, CY, np.eye(4),
+                     min_pixels=100, voxel_size=0.02, features=[f_b])
+    assert len(st.tracks) == 2
+    t1 = st.tracks[1]
+    np.testing.assert_allclose(t1.feature, f_a)

@@ -29,6 +29,54 @@ class InstanceTrack:
     class_id: int = -1
     merge_cnt: int = 0
     cmp_cnt: int = 0
+    feature: np.ndarray | None = None  # running-mean semantic embedding
+
+
+class FeatureAffinity:
+    """Embedding-backed ``class_affinity``: two class ids match when their
+    feature vectors' cosine similarity clears ``threshold``.
+
+    Concrete implementation of the reference's optional CLIP-feature
+    semantic merging in track_instance (utils.py:274-382, where per-track
+    CLIP embeddings are averaged and compared instead of raw class ids).
+    ``provider`` maps class_id -> feature vector: a dict, an .npz path
+    (arrays keyed by str(class_id) — e.g. precomputed CLIP text embeddings
+    of the label set), or any callable.
+    """
+
+    def __init__(self, provider, threshold: float = 0.9):
+        if isinstance(provider, str):
+            z = np.load(provider)
+            provider = {int(k): z[k] for k in z.files}
+        if isinstance(provider, dict):
+            table = dict(provider)
+            provider = table.get
+        self._provider = provider
+        self.threshold = float(threshold)
+        self._cache: dict[int, np.ndarray | None] = {}
+
+    def feature(self, class_id: int) -> np.ndarray | None:
+        if class_id not in self._cache:
+            f = self._provider(class_id)
+            if f is not None:
+                f = np.asarray(f, np.float32)
+                f = f / max(float(np.linalg.norm(f)), 1e-12)
+            self._cache[class_id] = f
+        return self._cache[class_id]
+
+    def __call__(self, c1: int, c2: int) -> bool:
+        if c1 == c2:
+            return True
+        f1, f2 = self.feature(c1), self.feature(c2)
+        if f1 is None or f2 is None:
+            return False
+        return float(f1 @ f2) >= self.threshold
+
+
+def _cosine(a: np.ndarray, b: np.ndarray) -> float:
+    na = float(np.linalg.norm(a))
+    nb = float(np.linalg.norm(b))
+    return float(a @ b) / max(na * nb, 1e-12)
 
 
 @dataclass
@@ -132,6 +180,8 @@ def track_detections(
     voxel_size: float = 0.1,
     min_extent: float = 0.05,
     class_affinity=None,
+    features: list | None = None,
+    feature_threshold: float = 0.9,
 ) -> np.ndarray:
     """Detection-based tracking for streams WITHOUT temporally consistent
     instance ids (live/detector input): assigns persistent ids by 3D
@@ -139,13 +189,24 @@ def track_detections(
     affinity-matched) tracks, creating new tracks otherwise.
 
     Counterpart of the reference's ``track_instance`` (utils.py:274-382,
-    dormant there); ``class_affinity(c1, c2) -> bool`` generalises its
-    optional CLIP-feature semantic merging hook.
+    dormant there). Semantic matching, in precedence order:
+      * ``features`` — one embedding per detection (e.g. CLIP image
+        features): a detection matches a track when the cosine similarity
+        of its feature to the track's running-mean feature clears
+        ``feature_threshold`` (the reference's semantic branch); merged
+        tracks running-average their feature.
+      * ``class_affinity(c1, c2) -> bool`` — e.g. a ``FeatureAffinity``
+        over precomputed per-class embeddings.
+      * plain class-id equality.
 
     Returns the (W, H) instance map (0 background, -1 unsure).
     """
     inst_out = np.zeros(depth.shape, np.int32)
-    for mask, cls in zip(masks, class_ids):
+    if features is None:
+        features = [None] * len(masks)
+    for mask, cls, feat in zip(masks, class_ids, features):
+        if feat is not None:
+            feat = np.asarray(feat, np.float32)
         small = _erode(mask)
         if small.sum() <= min_pixels:
             continue
@@ -156,15 +217,17 @@ def track_detections(
             continue
         pts = unproject_depth(depth, fx, fy, cx, cy, t_wc=t_wc, mask=mask)
 
-        def class_match(tc):
+        def class_match(track):
+            if feat is not None and track.feature is not None:
+                return _cosine(feat, track.feature) >= feature_threshold
             if class_affinity is not None:
-                return class_affinity(cls, tc)
-            return tc == cls
+                return class_affinity(cls, track.class_id)
+            return track.class_id == cls
 
         merged_id = None
         diff_mask = None
         for track in state.tracks.values():
-            if track.bbox3d is None or not class_match(track.class_id):
+            if track.bbox3d is None or not class_match(track):
                 continue
             track.cmp_cnt += 1
             inside = track.bbox3d.contains(pts)
@@ -175,6 +238,10 @@ def track_detections(
                 box = obb_from_points(track.points, min_extent=min_extent)
                 if box is not None:
                     track.bbox3d = box
+                if feat is not None:  # running-mean semantic embedding
+                    n = track.merge_cnt
+                    track.feature = (feat if track.feature is None else
+                                     (track.feature * n + feat) / (n + 1))
                 valid_px = mask & (depth > 0)
                 u, v = np.nonzero(valid_px)
                 diff_mask = np.zeros_like(mask)
@@ -189,6 +256,7 @@ def track_detections(
             merged_id = max(state.tracks.keys(), default=0) + 1
             t = InstanceTrack(inst_id=merged_id, points=pts_small, bbox3d=box)
             t.class_id = cls
+            t.feature = feat
             state.tracks[merged_id] = t
 
         inst_out[mask] = merged_id
