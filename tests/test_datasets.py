@@ -126,3 +126,37 @@ def test_synthetic_adapter():
     s = ds[0]
     assert s["image"].shape == (64, 48, 3)
     assert 0 in s["bbox_dict"]
+
+
+def test_bg_membership_semantics_match_reference(replica_root):
+    """Background folding decision vs the reference (dataset.py:105-107):
+    the reference tests `unique(sem[mask]) in background_cls_list`, which is
+    well-defined ONLY for single-class instances (a multi-class mask makes
+    `array in list` raise) — and every real Replica render has one class
+    per instance. Our majority-class vote is therefore behaviourally
+    IDENTICAL on valid data and additionally robust to mixed masks; this
+    test pins both properties."""
+    from vmap_tpu.data.replica import ReplicaDataset, BACKGROUND_CLASSES
+
+    # 1. single-class instances: vote == reference membership test
+    cfg = _cfg(replica_root)
+    ds = ReplicaDataset(cfg)
+    s = ds[0]
+    # fixture: inst 7 has class 20 (kept), background is wall class (folded)
+    assert 7 in np.unique(s["obj"])
+    assert set(np.unique(s["obj"])) <= {0, 7}
+
+    # 2. mixed-class mask (would crash the reference): majority decides
+    inst = np.zeros((40, 40), np.int32)
+    inst[5:25, 5:25] = 9
+    sem = np.zeros((40, 40), np.int32)
+    sem[:, :] = 20
+    # majority of instance 9's pixels are a background class
+    bg_cls = next(iter(BACKGROUND_CLASSES))
+    sem[5:25, 5:20] = bg_cls       # 15/20 columns background class
+    inst_out, bbox = ds._build_instances(inst, sem)
+    assert 9 not in np.unique(inst_out)
+
+    sem[5:25, 5:25] = 20           # now fully a foreground class
+    inst_out, bbox = ds._build_instances(inst, sem)
+    assert 9 in np.unique(inst_out) and 9 in bbox
