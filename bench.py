@@ -26,13 +26,15 @@ swings); the median chunk is reported alongside in detail.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 
-def build_workload(compute_dtype: str = "bfloat16", fused: bool = True):
+def build_workload(compute_dtype: str = "bfloat16", fused: bool = True,
+                   px_block: int = int(os.environ.get("BENCH_PX_BLOCK", "1"))):
     import jax
     import jax.numpy as jnp
     from vmap_tpu.core.bank import activate_slot, init_bank
@@ -49,7 +51,7 @@ def build_workload(compute_dtype: str = "bfloat16", fused: bool = True):
         min_depth=0.0, surface_eps=0.1, stop_eps=0.05,
         lr=1e-3, wd=0.013, compute_dtype=compute_dtype,
         fx=600.0, fy=600.0, cx=599.5, cy=339.5,
-        use_fused_frame=fused,
+        use_fused_frame=fused, px_block=px_block,
     )
 
     key = jax.random.PRNGKey(0)

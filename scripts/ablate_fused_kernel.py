@@ -57,7 +57,10 @@ def main():
                      ("no_adam", frozenset({"adam"})),
                      ("no_dirsbwd", frozenset({"bwd"})),
                      ("fwd_only", frozenset({"bwdall"})),
-                     ("static_reads", frozenset({"static0"}))):
+                     ("static_reads", frozenset({"static0"})),
+                     ("no_ladder", frozenset({"ladder", "bwdall"})),
+                     ("mm_only", frozenset({"render"})),
+                     ("mm_only_no_ladder", frozenset({"render", "ladder"}))):
         fn = jax.jit(lambda pb, b, a=abl: TS.fused_frame_prepared(
             pb, b, st.n_iter, n_per, lr=st.lr, wd=st.wd,
             color_scaling=st.color_scaling,

@@ -29,6 +29,13 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--out", default=None)
     p.add_argument("--cpu", action="store_true")
+    # quality-study knobs (bf16 / block-sampling / background budget)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--px_block", type=int, default=1)
+    p.add_argument("--bg_rays", type=int, default=80)
+    p.add_argument("--bg_hidden", type=int, default=32)
+    p.add_argument("--fused", default="auto")
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -44,16 +51,18 @@ def main(argv=None):
 
     fx = args.width * 0.75
     scene = SyntheticScene(width=args.width, height=args.height, fx=fx, fy=fx)
+    fused = args.fused if args.fused == "auto" else args.fused == "1"
     cfg = Config(
         max_n_models=4, do_bg=True, hidden_feature_size=32,
-        hidden_feature_size_bg=32, n_iter_per_frame=args.iters,
+        hidden_feature_size_bg=args.bg_hidden, n_iter_per_frame=args.iters,
         win_size=3, n_samples_per_frame=40,
-        win_size_bg=3, n_samples_per_frame_bg=80,
+        win_size_bg=3, n_samples_per_frame_bg=args.bg_rays,
         keyframe_buffer_size=10, keyframe_step=4, keyframe_step_bg=4,
         W=args.width, H=args.height, fx=fx, fy=fx,
         cx=(args.width - 1) / 2, cy=(args.height - 1) / 2,
         frame_pool_size=args.frames + 2, live_voxel_size=0.02,
-        grid_dim=args.grid, seed=0)
+        grid_dim=args.grid, seed=0, compute_dtype=args.dtype,
+        px_block=args.px_block, fused_train_step=fused)
 
     m = Mapper(cfg)
     for fid in list(range(args.frames)) * args.passes:

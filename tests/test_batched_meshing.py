@@ -45,7 +45,11 @@ def test_mesh_all_objects_matches_serial(tmp_path):
         np.testing.assert_allclose(b.vertices, serial.vertices,
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_array_equal(b.faces, serial.faces)
-        np.testing.assert_array_equal(b.vertex_colors, serial.vertex_colors)
+        # uint8 quantisation can flip by 1 where the f32 colour sits on a
+        # rounding boundary (different summation order in the batched eval)
+        np.testing.assert_allclose(
+            b.vertex_colors.astype(np.int32),
+            serial.vertex_colors.astype(np.int32), atol=1)
     assert n_meshed >= 1
 
 

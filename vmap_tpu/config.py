@@ -116,6 +116,11 @@ class Config:
     # backends (3.4x the XLA scan step on v5e), off elsewhere (the CPU
     # interpret path is for tests only)
     fused_train_step: str | bool = "auto"
+    # pixel-gather granularity: 1 = reference-exact independent pixels;
+    # L > 1 draws L-pixel v-contiguous runs (Lx fewer TPU gather elements,
+    # see core/step.py px_block). Needs H % L == 0 and ray budgets % L == 0
+    # or it silently falls back to 1.
+    px_block: int = 1
 
     raw: dict = field(default_factory=dict, repr=False)
 
@@ -202,6 +207,7 @@ class Config:
         c.seed = int(g("tpu.seed", c.seed))
         c.mesh_axes = g("tpu.mesh_axes", c.mesh_axes)
         c.fused_train_step = g("tpu.fused_train_step", c.fused_train_step)
+        c.px_block = int(g("tpu.px_block", c.px_block))
         return c
 
     def fused_enabled(self) -> bool:

@@ -121,6 +121,13 @@ class Mapper:
         self.frames_ingested = 0
         self.models_full_events = 0
 
+        px_block = cfg.px_block
+        if px_block > 1 and (cfg.H % px_block or cfg.n_samples_per_frame
+                             % px_block or cfg.n_samples_per_frame_bg
+                             % px_block):
+            print(f"WARNING: tpu.px_block={px_block} incompatible with "
+                  f"H={cfg.H} / ray budgets; falling back to 1")
+            px_block = 1
         self.statics = StepStatics(
             n_iter=cfg.n_iter_per_frame,
             win=cfg.win_size, n_px=cfg.n_samples_per_frame,
@@ -136,6 +143,7 @@ class Mapper:
             use_fused_frame=self.use_fused,
             shard_data_axis=(self.mesh is not None
                              and self.mesh.shape["data"] > 1),
+            px_block=px_block,
         )
         self._step_fn = make_frame_step(self.statics)
         self._forloop_step_fn = None  # built lazily (ablation baseline)

@@ -85,6 +85,12 @@ class StepStatics:
     # block layout (PreparedBank) across frames; measured 3.4x faster than
     # the XLA scan path on v5e (15.5 ms vs 53.6 ms per 100-object frame)
     use_fused_frame: bool = False
+    # pixel-sampling granularity: 1 draws every pixel independently
+    # (reference-exact, vmap.py:343-351); L>1 draws runs of L v-contiguous
+    # pixels from an L-aligned grid, cutting the pool-gather element count
+    # Lx (TPU gathers cost per element, not per byte). Requires n_px % L
+    # == 0 and H % L == 0.
+    px_block: int = 1
 
 
 def pick_group(capacity: int, hidden: int) -> int:
@@ -110,6 +116,9 @@ def _sample_bank(key, pool_packed, pool_twc,
     W = pool_packed.shape[1]
     H = pool_packed.shape[2]
 
+    L = st.px_block
+    assert n_px % L == 0 and H % L == 0, (n_px, H, L)
+
     def sample_one(key, kf_pool, bbox_tab, n_kf1, latest2_1, obj_id):
         k_kf, k_u, k_v, k_z = jax.random.split(key, 4)
         n_safe = jnp.maximum(n_kf1, 1)
@@ -120,16 +129,43 @@ def _sample_bank(key, pool_packed, pool_twc,
         kf_local = jnp.where(n_kf1 > 2, ids_b, ids_a)
 
         bbox = bbox_tab[kf_local]  # [n_frames, 4] = [u0, u1, v0, v1]
-        uu = jax.random.uniform(k_u, (n_frames, n_px))
-        vv = jax.random.uniform(k_v, (n_frames, n_px))
-        u = jnp.floor(uu * (bbox[:, 1] - bbox[:, 0])[:, None] + bbox[:, 0][:, None])
-        v = jnp.floor(vv * (bbox[:, 3] - bbox[:, 2])[:, None] + bbox[:, 2][:, None])
-        u = jnp.clip(u.astype(jnp.int32), 0, W - 1)
-        v = jnp.clip(v.astype(jnp.int32), 0, H - 1)
-
         pool_ids = kf_pool[kf_local]  # [n_frames]
         pid = pool_ids[:, None]
-        g = pool_packed[pid, u, v]                    # [NF, NP, 2] u32
+        if L == 1:
+            uu = jax.random.uniform(k_u, (n_frames, n_px))
+            vv = jax.random.uniform(k_v, (n_frames, n_px))
+            u = jnp.floor(uu * (bbox[:, 1] - bbox[:, 0])[:, None]
+                          + bbox[:, 0][:, None])
+            v = jnp.floor(vv * (bbox[:, 3] - bbox[:, 2])[:, None]
+                          + bbox[:, 2][:, None])
+            u = jnp.clip(u.astype(jnp.int32), 0, W - 1)
+            v = jnp.clip(v.astype(jnp.int32), 0, H - 1)
+            g = pool_packed[pid, u, v]                # [NF, NP, 2] u32
+        else:
+            # block mode: draw n_px/L (u, v-block) pairs; each gather pulls
+            # an L-run of v-contiguous pixels from the L-aligned grid. Same
+            # pixel budget, L x fewer gather elements (TPU gathers cost per
+            # element). v-blocks are uniform over blocks intersecting the
+            # bbox, so coverage matches the per-pixel draw up to <=L-1 px
+            # of block-edge spill (bboxes are enlarged by 0.2 anyway).
+            nb = n_px // L
+            uu = jax.random.uniform(k_u, (n_frames, nb))
+            vv = jax.random.uniform(k_v, (n_frames, nb))
+            u_b = jnp.floor(uu * (bbox[:, 1] - bbox[:, 0])[:, None]
+                            + bbox[:, 0][:, None])
+            u_b = jnp.clip(u_b.astype(jnp.int32), 0, W - 1)
+            b0 = jnp.floor(bbox[:, 2] / L)
+            b1 = jnp.ceil(bbox[:, 3] / L)
+            nblk = jnp.maximum(b1 - b0, 1.0)
+            v_b = jnp.floor(vv * nblk[:, None] + b0[:, None])
+            v_b = jnp.clip(v_b.astype(jnp.int32), 0, H // L - 1)
+            pool_r = pool_packed.reshape(
+                pool_packed.shape[0], W, H // L, L, 2)
+            g = pool_r[pid, u_b, v_b]                 # [NF, nb, L, 2]
+            g = g.reshape(n_frames, n_px, 2)
+            u = jnp.repeat(u_b, L, axis=1)
+            v = (v_b[:, :, None] * L
+                 + jnp.arange(L, dtype=jnp.int32)).reshape(n_frames, n_px)
         w0 = g[..., 0]
         w1 = g[..., 1]
         rgb = jnp.stack([w0 & 255, (w0 >> 8) & 255, (w0 >> 16) & 255],

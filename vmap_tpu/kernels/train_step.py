@@ -337,6 +337,42 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
                 return "head"
             return "div"
 
+        # Adam loop-invariants, hoisted out of the iteration loop: the
+        # combined update mask (active-object rows AND the structural block
+        # mask), both as a bool (moment write-back selects) and as an f32
+        # multiplier (grad gating + decay/update application) — keeping
+        # masked entries and inactive objects bit-identical. (Hoisting the
+        # bias-correction row-vectors for all iterations as [rows, NI] was
+        # tried; Mosaic has no value-dynamic_slice to extract column `it`.)
+        actv0 = wmul_ref[0, 0, 5 * OG:6 * OG]         # [OG, 1] frame-const
+        actrows = {mode: jnp.dot(oh, actv0, preferred_element_type=f32)
+                   for mode, oh in ohs.items()}
+        updb = {n: (actrows[cls(n)] > 0) & masks[n] for n in P_NAMES}
+        maskf = {n: jnp.where(updb[n], 1.0, 0.0) for n in P_NAMES}
+
+        # Lane-mixing constants for the full-width render/loss section:
+        # per-ray reductions over the S sample tiles and their broadcasts
+        # become small matmuls (MXU time that hides under the VPU work)
+        # instead of S-long chains of [OG, 128] tile ops.
+        ri_t = jax.lax.broadcasted_iota(jnp.int32, (T, R_TILE), 0)
+        ci_t = jax.lax.broadcasted_iota(jnp.int32, (T, R_TILE), 1)
+        msum = (ri_t % R_TILE == ci_t).astype(f32)          # [T, 128]
+        ri_b = jax.lax.broadcasted_iota(jnp.int32, (R_TILE, T), 0)
+        ci_b = jax.lax.broadcasted_iota(jnp.int32, (R_TILE, T), 1)
+        mbc = (ri_b == ci_b % R_TILE).astype(f32)           # [128, T]
+        r3i = jax.lax.broadcasted_iota(jnp.int32, (3 * OG, OG), 0)
+        r3j = jax.lax.broadcasted_iota(jnp.int32, (3 * OG, OG), 1)
+        rep3 = (r3i % OG == r3j).astype(f32)                # [3OG, OG]
+        s3i = jax.lax.broadcasted_iota(jnp.int32, (OG, 3 * OG), 0)
+        s3j = jax.lax.broadcasted_iota(jnp.int32, (OG, 3 * OG), 1)
+        sum3 = (s3j % OG == s3i).astype(f32)                # [OG, 3OG]
+
+        def lane_sum(x):     # [rows, T] -> [rows, 128] (sum over s tiles)
+            return jnp.dot(x, msum, preferred_element_type=f32)
+
+        def bcast(x):        # [rows, 128] -> [rows, T]
+            return jnp.dot(x, mbc, preferred_element_type=f32)
+
         def mm(w, x):
             return jnp.dot(w.astype(cdt), x, preferred_element_type=f32)
 
@@ -375,12 +411,16 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
             # (transcendentals on [DG, T] dominated the kernel: bf16 matmuls
             # measured ~0% faster -> VPU-bound). Ladder rounding grows ~2^k
             # (<= ~32 ulp at k=5), negligible at the 1e-4 loss scale.
-            sins = [jnp.sin(proj * _PI)]
-            coss = [jnp.cos(proj * _PI)]
-            for _ in range(5):
-                s_, c_ = sins[-1], coss[-1]
-                sins.append(2.0 * s_ * c_)
-                coss.append(1.0 - 2.0 * s_ * s_)
+            if "ladder" in ablate:  # profiling: transcendental/ladder cost
+                sins = [proj * (0.1 * (k + 1)) for k in range(6)]
+                coss = [proj * (0.05 * (k + 1)) for k in range(6)]
+            else:
+                sins = [jnp.sin(proj * _PI)]
+                coss = [jnp.cos(proj * _PI)]
+                for _ in range(5):
+                    s_, c_ = sins[-1], coss[-1]
+                    sins.append(2.0 * s_ * c_)
+                    coss.append(1.0 - 2.0 * s_ * s_)
             # rows 21..23 of each 24-row object block are structural (xs
             # pass-through in band 0; JUNK in bands 1..5 and emb_b — their
             # weight columns are structurally zero, so no masking needed).
@@ -401,24 +441,37 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
             logits = mm(p["w_out"], cact) + p["b_out"]             # [3*OG,T]
             color = jax.nn.sigmoid(logits)
 
-            # ---------------- render + losses (f32) ----------------
+            if "render" in ablate:  # profiling: fwd matmuls only
+                lobj = (jnp.sum(alpha[:, 0:1], 1, keepdims=True)
+                        + jnp.sum(color[0:OG, 0:1], 1, keepdims=True))
+                return {n: jnp.zeros(shapes[n], f32) + lobj[0, 0]
+                        for n in P_NAMES}, lobj
+
+            # ------------- render + losses (f32, full-width) -------------
+            # Everything that can be [OG, T]-wide is (the original per-s
+            # [OG, 128] tile chains were ~3 ms/frame of VPU issue overhead);
+            # only the inherently sequential cumulative/suffix products run
+            # per tile, and per-ray reductions/broadcasts ride the MXU via
+            # lane_sum/bcast.
             occ = jax.nn.sigmoid(alpha)
             # 1 - occ + 1e-10 can const-fold to exactly 0 at occ == 1 under
             # some compilation paths; clamp so the cumprod backward's
             # division stays finite (the reference's intended epsilon).
             free = jnp.maximum(1.0 - occ + 1e-10, 1e-10)
             cp = jnp.ones((OG, R_TILE), f32)
-            cps, terms = [], []
+            cps = []
             for s in range(S):
                 cps.append(cp)
-                terms.append(tile(occ, s) * cp)
                 cp = cp * tile(free, s)
-            RD = sum(terms[s] * tile(z, s) for s in range(S))
-            RO = sum(terms)
-            var = sum(terms[s] * (tile(z, s) - RD) ** 2 for s in range(S))
+            cp_full = jnp.concatenate(cps, 1)                  # [OG, T]
+            terms = occ * cp_full                              # [OG, T]
+            RD = lane_sum(terms * z)                           # [OG, 128]
+            RO = lane_sum(terms)
+            RD_b = bcast(RD)
+            var = lane_sum(terms * (z - RD_b) ** 2)
             info = 1.0 / (jnp.sqrt(var) + 1e-4)
-            RC = [sum(terms[s] * tile(color[c * OG:(c + 1) * OG], s)
-                      for s in range(S)) for c in range(3)]
+            terms3 = jnp.dot(rep3, terms, preferred_element_type=f32)
+            RC3 = lane_sum(terms3 * color)                     # [3OG, 128]
 
             dep = dep_ref[0, idx]
             mo = mo_ref[0, idx]
@@ -429,10 +482,12 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
 
             res_d = RD - dep
             res_o = RO - mo
-            res_c = [RC[c] - gtc[c * OG:(c + 1) * OG] for c in range(3)]
+            res_c3 = RC3 - gtc                                 # [3OG, 128]
+            mo3 = jnp.dot(rep3, mo, preferred_element_type=f32)
             ld = jnp.sum(jnp.abs(res_d) * md * info, 1, keepdims=True) * w_d
-            lc = sum(jnp.sum(jnp.abs(res_c[c]) * mo, 1, keepdims=True)
-                     for c in range(3)) * w_c
+            lc_obj = jnp.dot(sum3, jnp.abs(res_c3) * mo3,
+                             preferred_element_type=f32)       # [OG, 128]
+            lc = jnp.sum(lc_obj, 1, keepdims=True) * w_c
             lo = jnp.sum(jnp.abs(res_o) * msm, 1, keepdims=True) * w_o
             lobj = ld + cs * lc + osc * lo                     # [OG, 1]
 
@@ -440,26 +495,26 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
             if "bwdall" in ablate:  # profiling ablation: fwd+loss only
                 return {n: jnp.zeros(shapes[n], f32) + lobj[0, 0]
                         for n in P_NAMES}, lobj
-            dRD = jnp.sign(res_d) * md * info * w_d
+            dRD = jnp.sign(res_d) * md * info * w_d            # [OG, 128]
             dRO = jnp.sign(res_o) * msm * (w_o * osc)
-            dRC = [jnp.sign(res_c[c]) * mo * (w_c * cs) for c in range(3)]
+            w_c3 = jnp.dot(rep3, w_c * cs, preferred_element_type=f32)
+            dRC3 = jnp.sign(res_c3) * mo3 * w_c3               # [3OG, 128]
+            dRC3_b = bcast(dRC3)                               # [3OG, T]
 
-            dterm = [dRD * tile(z, s) + dRO
-                     + sum(dRC[c] * tile(color[c * OG:(c + 1) * OG], s)
-                           for c in range(3))
-                     for s in range(S)]
+            dterm = (bcast(dRD) * z + bcast(dRO)
+                     + jnp.dot(sum3, dRC3_b * color,
+                               preferred_element_type=f32))    # [OG, T]
             # docc_s = dterm_s*cp_s - (sum_{k>s} dterm_k*term_k)/free_s
+            tt = dterm * terms
             suf = jnp.zeros((OG, R_TILE), f32)
-            dalpha_tiles = [None] * S
+            sufs = [None] * S
             for s in range(S - 1, -1, -1):
-                occ_s = tile(occ, s)
-                docc = dterm[s] * cps[s] - suf / tile(free, s)
-                dalpha_tiles[s] = docc * occ_s * (1.0 - occ_s) * 10.0
-                suf = suf + dterm[s] * terms[s]
-            dalpha = jnp.concatenate(dalpha_tiles, 1)          # [OG, T]
-            dcolor = jnp.concatenate(
-                [jnp.concatenate([dRC[c] * terms[s] for s in range(S)], 1)
-                 for c in range(3)], 0)                        # [3*OG, T]
+                sufs[s] = suf
+                suf = suf + tile(tt, s)
+            suf_full = jnp.concatenate(sufs, 1)                # [OG, T]
+            docc = dterm * cp_full - suf_full / free
+            dalpha = docc * occ * (1.0 - occ) * 10.0           # [OG, T]
+            dcolor = dRC3_b * terms3                           # [3OG, T]
             dlogits = dcolor * color * (1.0 - color)
 
             da_c = dalpha.astype(cdt)
@@ -532,27 +587,22 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
                 return 0
             c1v = w3[3 * OG:4 * OG]                            # [OG, 1]
             c2v = w3[4 * OG:5 * OG]
-            actv = w3[5 * OG:6 * OG]
-            rowvecs = {}
-            for mode, oh in ohs.items():
-                rowvecs[mode] = (
-                    jnp.dot(oh, c1v, preferred_element_type=f32),
-                    jnp.dot(oh, c2v, preferred_element_type=f32),
-                    jnp.dot(oh, actv, preferred_element_type=f32))
+            rowvecs = {mode: (jnp.dot(oh, c1v, preferred_element_type=f32),
+                              jnp.dot(oh, c2v, preferred_element_type=f32))
+                       for mode, oh in ohs.items()}
             for k, n in enumerate(P_NAMES):
-                c1r, c2r, actr = rowvecs[cls(n)]
-                upd_ok = (actr > 0) & masks[n]
-                gg = g[n] * jnp.where(upd_ok, 1.0, 0.0)
+                c1r, c2r = rowvecs[cls(n)]
+                mf = maskf[n]
+                gg = g[n] * mf
                 po = pout[k][0]
                 mo_ = mout[k][0]
                 vo = vout[k][0]
                 mn = B1 * mo_ + (1.0 - B1) * gg
                 vn = B2 * vo + (1.0 - B2) * gg * gg
                 upd = lr * (mn * c1r) / (jnp.sqrt(vn * c2r) + EPS)
-                pn = po * (1.0 - lr * wd) - upd
-                pout[k][0] = jnp.where(upd_ok, pn, po)
-                mout[k][0] = jnp.where(upd_ok, mn, mo_)
-                vout[k][0] = jnp.where(upd_ok, vn, vo)
+                pout[k][0] = po - (lr * wd * po + upd) * mf
+                mout[k][0] = jnp.where(updb[n], mn, mo_)
+                vout[k][0] = jnp.where(updb[n], vn, vo)
             return 0
 
         jax.lax.fori_loop(0, n_iter, iteration, 0)
@@ -755,12 +805,15 @@ def fused_frame_prepared(pb: PreparedBank, batch: dict, n_iter: int,
                   for n in P_NAMES] * 3
                  + [jax.ShapeDtypeStruct((ng, OG, R_TILE), f32)])
 
+    import os
+    grid_sem = ("parallel" if os.environ.get("VMAP_GRID_PARALLEL")
+                else "arbitrary")
     outs = pl.pallas_call(
         kernel, grid=(ng,),
         in_specs=in_specs, out_specs=out_specs, out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=(grid_sem,),
             # params+moments x6 + a group's full-frame ray blocks exceed the
             # 16 MiB default scoped-vmem budget; v5e has 128 MiB VMEM.
             vmem_limit_bytes=100 * 1024 * 1024),
