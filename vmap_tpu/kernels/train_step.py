@@ -93,6 +93,66 @@ P_NAMES = ("dirs", "w_in", "b_in", "w_mid1", "b_mid1", "w_cat_h", "w_cat_x",
 
 
 @lru_cache(maxsize=8)
+def packed_layout(G: int, h: int):
+    """Physical layout packing ALL 17 per-group tensors into TWO buffers:
+
+      wide  [RW, CW]  — matrices stacked along rows (col-padded to CW),
+      bias  [RB, 128] — the 7 bias vectors as columns 0..6.
+
+    One PreparedBank state (p/m/v) is then 2 device buffers instead of 17:
+    donated-dispatch cost scales with leaf count (~7 us/leaf measured on
+    this frontend) and each pallas operand is a separate per-invocation
+    block DMA, so 102 param operands -> 12 is both host- and device-side
+    cheaper. Returns ({name: (kind, row_off, rows, cols_or_col)}, RW, CW,
+    RB)."""
+    shapes = group_layout(G, h)
+    loc, off = {}, 0
+    wide_names = [n for n in P_NAMES if not n.startswith("b_")]
+    CW = max(shapes[n][1] for n in wide_names)
+    for n in wide_names:
+        r, c = shapes[n]
+        loc[n] = ("w", off, r, c)
+        off += r
+    RW = _rup(off, 8)
+    bcol = 0
+    for n in P_NAMES:
+        if n.startswith("b_"):
+            r, _ = shapes[n]
+            loc[n] = ("b", 0, r, bcol)
+            bcol += 1
+    RB = _rup(max(max(shapes[n][0] for n in P_NAMES if n.startswith("b_")),
+                  8), 8)
+    return loc, RW, CW, RB
+
+
+def pack_state(per_name: dict, G: int, h: int):
+    """{name: [ng, r, c]} -> (wide [ng, RW, CW], bias [ng, RB, 128])."""
+    loc, RW, CW, RB = packed_layout(G, h)
+    ng = per_name["dirs"].shape[0]
+    f32 = jnp.float32
+    wide = jnp.zeros((ng, RW, CW), f32)
+    bias = jnp.zeros((ng, RB, 128), f32)
+    for n in P_NAMES:
+        kind, off, r, c = loc[n]
+        if kind == "w":
+            wide = wide.at[:, off:off + r, :c].set(per_name[n].astype(f32))
+        else:
+            bias = bias.at[:, :r, c:c + 1].set(per_name[n].astype(f32))
+    return wide, bias
+
+
+def unpack_state(packed, G: int, h: int) -> dict:
+    loc, RW, CW, RB = packed_layout(G, h)
+    wide, bias = packed
+    out = {}
+    for n in P_NAMES:
+        kind, off, r, c = loc[n]
+        out[n] = (wide[:, off:off + r, :c] if kind == "w"
+                  else bias[:, :r, c:c + 1])
+    return out
+
+
+@lru_cache(maxsize=8)
 def _prep_indices(G: int, h: int):
     """Numpy scatter indices mapping per-object param tensors into the
     prepared block forms. Returns {name: (rows, cols, src_shape)} where
@@ -237,7 +297,7 @@ _PI = np.float32(np.pi)
 
 def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
                  lr: float, wd: float, cs: float, osc: float, bf16: bool,
-                 ablate: frozenset = frozenset()):
+                 ablate: frozenset = frozenset(), gpi: int = 1):
     """Kernel body for one GROUP invocation: every iteration of the frame.
 
     Grid is (n_groups,): the whole 20-iteration optimisation of a group runs
@@ -285,21 +345,32 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
             return (ri % OG < G) & (ri // OG < 3) & (ci == 0)
         return jnp.ones((r, c), bool)  # other biases
 
-    def kernel(*refs):
-        pin = refs[0:NP]
-        min_ = refs[NP:2 * NP]
-        vin = refs[2 * NP:3 * NP]
-        (o_ref, d_ref, z_ref, dep_ref, col_ref, mo_ref, ms_ref, md_ref,
-         wmul_ref) = refs[3 * NP:3 * NP + 9]
-        o0 = 3 * NP + 9
-        pout = refs[o0:o0 + NP]
-        mout = refs[o0 + NP:o0 + 2 * NP]
-        vout = refs[o0 + 2 * NP:o0 + 3 * NP]
-        loss_ref = refs[o0 + 3 * NP]
+    loc, RW, CW, RB = packed_layout(G, h)
 
-        for dst, src in zip(pout + mout + vout, pin + min_ + vin):
+    def kernel(*refs):
+        state_in = refs[0:6]            # (p_w, p_b, m_w, m_b, v_w, v_b)
+        (o_ref, d_ref, z_ref, dep_ref, col_ref, mo_ref, ms_ref, md_ref,
+         wmul_ref) = refs[6:15]
+        state_out = refs[15:21]
+        loss_ref = refs[21]
+        pout_w, pout_b, mout_w, mout_b, vout_w, vout_b = state_out
+
+        for dst, src in zip(state_out, state_in):
             dst[:] = src[:]
         loss_ref[:] = jnp.zeros_like(loss_ref)
+
+        def view(wref, bref, n, gg):
+            kind, off, r, c = loc[n]
+            if kind == "w":
+                return wref[gg, off:off + r, 0:c]
+            return bref[gg, 0:r, c:c + 1]
+
+        def store(wref, bref, n, gg, val):
+            kind, off, r, c = loc[n]
+            if kind == "w":
+                wref[gg, off:off + r, 0:c] = val
+            else:
+                bref[gg, 0:r, c:c + 1] = val
 
         # z rows [OG] -> xs rows [XP]: row 3g+c reads z row g
         zri = jax.lax.broadcasted_iota(jnp.int32, (XP, OG), 0)
@@ -344,11 +415,15 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
         # masked entries and inactive objects bit-identical. (Hoisting the
         # bias-correction row-vectors for all iterations as [rows, NI] was
         # tried; Mosaic has no value-dynamic_slice to extract column `it`.)
-        actv0 = wmul_ref[0, 0, 5 * OG:6 * OG]         # [OG, 1] frame-const
-        actrows = {mode: jnp.dot(oh, actv0, preferred_element_type=f32)
-                   for mode, oh in ohs.items()}
-        updb = {n: (actrows[cls(n)] > 0) & masks[n] for n in P_NAMES}
-        maskf = {n: jnp.where(updb[n], 1.0, 0.0) for n in P_NAMES}
+        updb, maskf = [], []
+        for gg in range(gpi):
+            actv0 = wmul_ref[gg, 0, 5 * OG:6 * OG]    # [OG, 1] frame-const
+            actrows = {mode: jnp.dot(oh, actv0, preferred_element_type=f32)
+                       for mode, oh in ohs.items()}
+            updb.append({n: (actrows[cls(n)] > 0) & masks[n]
+                         for n in P_NAMES})
+            maskf.append({n: jnp.where(updb[gg][n], 1.0, 0.0)
+                          for n in P_NAMES})
 
         # Lane-mixing constants for the full-width render/loss section:
         # per-ray reductions over the S sample tiles and their broadcasts
@@ -388,14 +463,14 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
         def pos(a):         # Mosaic cannot compare bf16 vectors; mask in f32
             return a.astype(f32) > 0
 
-        def chunk_grads(p, idx, w3):
+        def chunk_grads(p, idx, w3, gg):
             """Forward + render/loss + backward for one 128-ray chunk.
             Returns (grads dict, per-object loss [OG, 1])."""
             if "static0" in ablate:   # profiling: cost of dynamic batch reads
                 idx = 0
-            o = o_ref[0, idx]                                  # [XP, 128]
-            d = d_ref[0, idx]
-            z = z_ref[0, idx]                                  # [OG, T]
+            o = o_ref[gg, idx]                                 # [XP, 128]
+            d = d_ref[gg, idx]
+            z = z_ref[gg, idx]                                 # [OG, T]
 
             def tile(a, s):
                 return a[:, s * R_TILE:(s + 1) * R_TILE]
@@ -473,11 +548,11 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
             terms3 = jnp.dot(rep3, terms, preferred_element_type=f32)
             RC3 = lane_sum(terms3 * color)                     # [3OG, 128]
 
-            dep = dep_ref[0, idx]
-            mo = mo_ref[0, idx]
-            msm = ms_ref[0, idx]
-            md = md_ref[0, idx]
-            gtc = col_ref[0, idx]                              # [3*OG, 128]
+            dep = dep_ref[gg, idx]
+            mo = mo_ref[gg, idx]
+            msm = ms_ref[gg, idx]
+            md = md_ref[gg, idx]
+            gtc = col_ref[gg, idx]                             # [3*OG, 128]
             w_d, w_c, w_o = w3[0:OG], w3[OG:2 * OG], w3[2 * OG:3 * OG]
 
             res_d = RD - dep
@@ -570,39 +645,49 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
                 preferred_element_type=f32)
             return g, lobj
 
-        def iteration(it, _):
-            p = {n: pout[k][0] for k, n in enumerate(P_NAMES)}
-            w3 = wmul_ref[0, it]                               # [6*OG, 1]
-            g, lobj = chunk_grads(p, it * NC, w3)
+        def group_iteration(it, gg):
+            """One optimisation iteration of in-invocation group ``gg``.
+            With gpi > 1 the per-group programs are data-independent, so
+            the VLIW scheduler can overlap one group's VPU render/loss
+            with another's MXU matmul chain."""
+            p = {n: view(pout_w, pout_b, n, gg) for n in P_NAMES}
+            w3 = wmul_ref[gg, it]                              # [6*OG, 1]
+            g, lobj = chunk_grads(p, it * NC, w3, gg)
             for ch in range(1, NC):
-                g2, l2 = chunk_grads(p, it * NC + ch, w3)
+                g2, l2 = chunk_grads(p, it * NC + ch, w3, gg)
                 g = {n: g[n] + g2[n] for n in P_NAMES}
                 lobj = lobj + l2
-            loss_ref[0] = loss_ref[0] + jnp.where(coli_og == it, lobj, 0.0)
+            loss_ref[gg] = loss_ref[gg] + jnp.where(coli_og == it, lobj,
+                                                    0.0)
 
             # ---------------- masked AdamW ----------------
             if "adam" in ablate:    # profiling ablation: write grads as p
-                for k, n in enumerate(P_NAMES):
-                    pout[k][0] = pout[k][0] + 1e-30 * g[n]
-                return 0
+                for n in P_NAMES:
+                    store(pout_w, pout_b, n, gg,
+                          view(pout_w, pout_b, n, gg) + 1e-30 * g[n])
+                return
             c1v = w3[3 * OG:4 * OG]                            # [OG, 1]
             c2v = w3[4 * OG:5 * OG]
             rowvecs = {mode: (jnp.dot(oh, c1v, preferred_element_type=f32),
                               jnp.dot(oh, c2v, preferred_element_type=f32))
                        for mode, oh in ohs.items()}
-            for k, n in enumerate(P_NAMES):
+            for n in P_NAMES:
                 c1r, c2r = rowvecs[cls(n)]
-                mf = maskf[n]
-                gg = g[n] * mf
-                po = pout[k][0]
-                mo_ = mout[k][0]
-                vo = vout[k][0]
-                mn = B1 * mo_ + (1.0 - B1) * gg
-                vn = B2 * vo + (1.0 - B2) * gg * gg
+                mf = maskf[gg][n]
+                ggrad = g[n] * mf
+                po = view(pout_w, pout_b, n, gg)
+                mo_ = view(mout_w, mout_b, n, gg)
+                vo = view(vout_w, vout_b, n, gg)
+                mn = B1 * mo_ + (1.0 - B1) * ggrad
+                vn = B2 * vo + (1.0 - B2) * ggrad * ggrad
                 upd = lr * (mn * c1r) / (jnp.sqrt(vn * c2r) + EPS)
-                pout[k][0] = po - (lr * wd * po + upd) * mf
-                mout[k][0] = jnp.where(updb[n], mn, mo_)
-                vout[k][0] = jnp.where(updb[n], vn, vo)
+                store(pout_w, pout_b, n, gg, po - (lr * wd * po + upd) * mf)
+                store(mout_w, mout_b, n, gg, jnp.where(updb[gg][n], mn, mo_))
+                store(vout_w, vout_b, n, gg, jnp.where(updb[gg][n], vn, vo))
+
+        def iteration(it, _):
+            for gg in range(gpi):
+                group_iteration(it, gg)
             return 0
 
         jax.lax.fori_loop(0, n_iter, iteration, 0)
@@ -716,11 +801,13 @@ class PreparedBank:
     The training path converts a ``BankState`` to this form ONCE (and back
     only for meshing / eval / checkpointing): the prepare/unprepare scatter
     transforms cost ~6 ms/frame at the 100-object workload when done per
-    frame. 3 x 17 prepared tensors; donation-friendly enough (~100 leaves).
+    frame. Each state (p/m/v) is the PACKED (wide, bias) buffer pair of
+    ``packed_layout`` — 6 device buffers total, so donation stays cheap
+    and the kernel sees 12 param operands instead of 102.
     """
-    p: dict
-    m: dict
-    v: dict
+    p: tuple
+    m: tuple
+    v: tuple
     step: jax.Array    # [cap]
     active: jax.Array  # [cap]
     scale: jax.Array   # [cap]
@@ -733,19 +820,24 @@ class PreparedBank:
 
 
 def prepare_bank(bank: BankState, G: int) -> PreparedBank:
+    h = bank.spec.hidden
     return PreparedBank(
-        p=prepare_params(bank.flat, bank.spec, G, with_identity=True),
-        m=prepare_params(bank.m, bank.spec, G, with_identity=False),
-        v=prepare_params(bank.v, bank.spec, G, with_identity=False),
+        p=pack_state(prepare_params(bank.flat, bank.spec, G,
+                                    with_identity=True), G, h),
+        m=pack_state(prepare_params(bank.m, bank.spec, G,
+                                    with_identity=False), G, h),
+        v=pack_state(prepare_params(bank.v, bank.spec, G,
+                                    with_identity=False), G, h),
         step=bank.step, active=bank.active, scale=bank.scale,
         spec=bank.spec, G=G)
 
 
 def unprepare_bank(pb: PreparedBank) -> BankState:
+    h = pb.spec.hidden
     return BankState(
-        flat=unprepare_params(pb.p, pb.spec, pb.G),
-        m=unprepare_params(pb.m, pb.spec, pb.G),
-        v=unprepare_params(pb.v, pb.spec, pb.G),
+        flat=unprepare_params(unpack_state(pb.p, pb.G, h), pb.spec, pb.G),
+        m=unprepare_params(unpack_state(pb.m, pb.G, h), pb.spec, pb.G),
+        v=unprepare_params(unpack_state(pb.v, pb.G, h), pb.spec, pb.G),
         step=pb.step, active=pb.active, scale=pb.scale, spec=pb.spec)
 
 
@@ -777,59 +869,75 @@ def fused_frame_prepared(pb: PreparedBank, batch: dict, n_iter: int,
     S, n_chunks, XP = b["S"], b["n_chunks"], b["XP"]
     NI, NC = n_iter, n_chunks
     T = S * R_TILE
+    loc, RW, CW, RB = packed_layout(G, h)
+
+    # groups per invocation: per-group programs are independent, so packing
+    # several into one invocation gives the VLIW scheduler cross-group ILP
+    # (one group's VPU render overlaps another's matmul chain). Bounded by
+    # a VMEM estimate; env VMAP_GPI overrides for experiments.
+    import os
+    env_gpi = os.environ.get("VMAP_GPI")
+    if env_gpi is not None:
+        gpi = max(g for g in range(1, int(env_gpi) + 1) if ng % g == 0)
+    else:
+        batch_bytes = sum(int(np.prod(v.shape[1:])) * 4
+                          for k, v in b.items()
+                          if hasattr(v, "shape"))
+        state_bytes = 6 * (RW * CW + RB * 128) * 4
+        # every pallas window is double-buffered; states appear as both
+        # input and output windows
+        per_group = 2 * (2 * state_bytes + batch_bytes)
+        budget = 100 * 1024 * 1024
+        gpi = max((g for g in range(1, min(ng, 8) + 1)
+                   if ng % g == 0 and g * per_group <= budget), default=1)
 
     kernel = _make_kernel(G, h, S, NI, NC, lr, wd,
-                          color_scaling, opacity_scaling, bf16, _ablate)
+                          color_scaling, opacity_scaling, bf16, _ablate,
+                          gpi=gpi)
 
     def pspec(shape):
-        return pl.BlockSpec((1,) + shape, lambda g: (g, 0, 0),
+        return pl.BlockSpec((gpi,) + shape, lambda g: (g, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def bspec(shape):
-        return pl.BlockSpec((1, NI * NC) + shape, lambda g: (g, 0, 0, 0),
+        return pl.BlockSpec((gpi, NI * NC) + shape, lambda g: (g, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    wspec = pl.BlockSpec((1, NI, 6 * OG, 1), lambda g: (g, 0, 0, 0),
+    wspec = pl.BlockSpec((gpi, NI, 6 * OG, 1), lambda g: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM)
 
-    param_specs = [pspec(shapes[n]) for n in P_NAMES]
+    param_specs = [pspec((RW, CW)), pspec((RB, 128))]
     in_specs = (param_specs * 3
                 + [bspec((XP, R_TILE)), bspec((XP, R_TILE)), bspec((OG, T)),
                    bspec((OG, R_TILE)), bspec((3 * OG, R_TILE)),
                    bspec((OG, R_TILE)), bspec((OG, R_TILE)),
                    bspec((OG, R_TILE)), wspec])
     out_specs = (param_specs * 3
-                 + [pl.BlockSpec((1, OG, R_TILE), lambda g: (g, 0, 0),
+                 + [pl.BlockSpec((gpi, OG, R_TILE), lambda g: (g, 0, 0),
                                  memory_space=pltpu.VMEM)])
-    out_shape = ([jax.ShapeDtypeStruct((ng,) + shapes[n], f32)
-                  for n in P_NAMES] * 3
-                 + [jax.ShapeDtypeStruct((ng, OG, R_TILE), f32)])
+    state_shapes = [jax.ShapeDtypeStruct((ng, RW, CW), f32),
+                    jax.ShapeDtypeStruct((ng, RB, 128), f32)]
+    out_shape = state_shapes * 3 + [jax.ShapeDtypeStruct((ng, OG, R_TILE),
+                                                         f32)]
 
-    import os
-    grid_sem = ("parallel" if os.environ.get("VMAP_GRID_PARALLEL")
-                else "arbitrary")
     outs = pl.pallas_call(
-        kernel, grid=(ng,),
+        kernel, grid=(ng // gpi,),
         in_specs=in_specs, out_specs=out_specs, out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=(grid_sem,),
+            dimension_semantics=("arbitrary",),
             # params+moments x6 + a group's full-frame ray blocks exceed the
             # 16 MiB default scoped-vmem budget; v5e has 128 MiB VMEM.
-            vmem_limit_bytes=100 * 1024 * 1024),
-    )(*[pb.p[n] for n in P_NAMES], *[pb.m[n] for n in P_NAMES],
-      *[pb.v[n] for n in P_NAMES],
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(*pb.p, *pb.m, *pb.v,
       b["o"], b["d"], b["z"], b["dep"], b["gtc"], b["mo"], b["ms"], b["md"],
       b["wmul"])
 
-    np_ = len(P_NAMES)
     new_pb = pb.replace(
-        p=dict(zip(P_NAMES, outs[0:np_])),
-        m=dict(zip(P_NAMES, outs[np_:2 * np_])),
-        v=dict(zip(P_NAMES, outs[2 * np_:3 * np_])),
+        p=tuple(outs[0:2]), m=tuple(outs[2:4]), v=tuple(outs[4:6]),
         step=jnp.where(pb.active, pb.step + n_iter, pb.step),
     )
-    loss_out = outs[3 * np_]                                   # [ng, OG, 128]
+    loss_out = outs[6]                                         # [ng, OG, 128]
     losses = loss_out[:, :G, :n_iter].reshape(cap, n_iter)
     return new_pb, losses
 
@@ -859,26 +967,46 @@ def _activate_prepared_j(pb: PreparedBank, group: jax.Array, j: int,
                          fresh_flat: jax.Array, scale, slot) -> PreparedBank:
     """Scatter one freshly initialised object's params into group ``group``
     at intra-group position ``j`` (static), zeroing its Adam moments."""
-    idx = _prep_indices(pb.G, pb.spec.hidden)
+    h = pb.spec.hidden
+    idx = _prep_indices(pb.G, h)
+    loc, RW, CW, RB = packed_layout(pb.G, h)
     pe, mlp = pb.spec.unflatten(fresh_flat)
     src = _source_views(pe, mlp)
-    new_p, new_m, new_v = dict(pb.p), dict(pb.m), dict(pb.v)
     G = pb.G
+
+    # object j's packed scatter coordinates + the fresh value vector
+    rr_w, cc_w, rr_b, cc_b, w_srcs, b_srcs = [], [], [], [], [], []
     for name in P_NAMES:
         rows, cols, sshape = idx[name]
-        rr = jnp.asarray(
-            np.broadcast_to(rows, (G,) + sshape)[j].reshape(-1))
-        cc = jnp.asarray(
-            np.broadcast_to(cols, (G,) + sshape)[j].reshape(-1))
-        vals = src[name].reshape(-1)
-        for store, new_vals in ((new_p, vals), (new_m, 0.0), (new_v, 0.0)):
-            cur = jax.lax.dynamic_index_in_dim(store[name], group, 0,
-                                               keepdims=False)
-            cur = cur.at[rr, cc].set(new_vals)
-            store[name] = jax.lax.dynamic_update_index_in_dim(
-                store[name], cur, group, 0)
+        rr = np.broadcast_to(rows, (G,) + sshape)[j].reshape(-1)
+        cc = np.broadcast_to(cols, (G,) + sshape)[j].reshape(-1)
+        kind, off, r, c = loc[name]
+        if kind == "w":
+            rr_w.append(rr + off)
+            cc_w.append(cc)
+            w_srcs.append(name)
+        else:
+            rr_b.append(rr)
+            cc_b.append(np.full_like(cc, c))
+            b_srcs.append(name)
+
+    def scatter(state, vals_w, vals_b):
+        wide, bias = state
+        cur_w = jax.lax.dynamic_index_in_dim(wide, group, 0, keepdims=False)
+        cur_b = jax.lax.dynamic_index_in_dim(bias, group, 0, keepdims=False)
+        cur_w = cur_w.at[np.concatenate(rr_w), np.concatenate(cc_w)].set(
+            vals_w)
+        cur_b = cur_b.at[np.concatenate(rr_b), np.concatenate(cc_b)].set(
+            vals_b)
+        return (jax.lax.dynamic_update_index_in_dim(wide, cur_w, group, 0),
+                jax.lax.dynamic_update_index_in_dim(bias, cur_b, group, 0))
+
+    vals_w = jnp.concatenate([src[n].reshape(-1) for n in w_srcs])
+    vals_b = jnp.concatenate([src[n].reshape(-1) for n in b_srcs])
     return pb.replace(
-        p=new_p, m=new_m, v=new_v,
+        p=scatter(pb.p, vals_w, vals_b),
+        m=scatter(pb.m, 0.0 * vals_w, 0.0 * vals_b),
+        v=scatter(pb.v, 0.0 * vals_w, 0.0 * vals_b),
         step=pb.step.at[slot].set(0),
         active=pb.active.at[slot].set(True),
         scale=pb.scale.at[slot].set(scale))
