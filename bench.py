@@ -20,7 +20,10 @@ Prints exactly one JSON line:
    "vs_baseline": N / 5000.0}
 (baseline: >= 5000 steps/s on one TPU v5e chip, BASELINE.md). ``value`` is
 the best sustained 20-frame chunk (the tunnel frontend adds 2-4x noise
-swings); the median chunk is reported alongside in detail.
+swings); the median chunk is reported alongside in detail. Default dtype is
+float32 — the quality-validated configuration (docs/quality_study.json);
+bf16 measures within noise anyway (the kernel is VPU-bound) and
+intermittently faults the tunneled worker on long runs.
 """
 
 from __future__ import annotations
@@ -33,7 +36,7 @@ import time
 import numpy as np
 
 
-def build_workload(compute_dtype: str = "bfloat16", fused: bool = True,
+def build_workload(compute_dtype: str = "float32", fused: bool = True,
                    px_block: int = int(os.environ.get("BENCH_PX_BLOCK", "1"))):
     import jax
     import jax.numpy as jnp
@@ -87,7 +90,7 @@ def build_workload(compute_dtype: str = "bfloat16", fused: bool = True,
     return step, st, (bank_obj, bank_bg, pool, obj_tab, obj_ids, bg_tab)
 
 
-def run(frames: int = 100, compute_dtype: str = "bfloat16",
+def run(frames: int = 100, compute_dtype: str = "float32",
         fused: bool = True) -> dict:
     import jax
 
@@ -148,7 +151,7 @@ def run(frames: int = 100, compute_dtype: str = "bfloat16",
 
 if __name__ == "__main__":
     frames = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
+    dtype = sys.argv[2] if len(sys.argv) > 2 else "float32"
     fused = not (len(sys.argv) > 3 and sys.argv[3] == "xla")
     result = run(frames, dtype, fused)
     print(json.dumps(result))

@@ -4,28 +4,39 @@
   B. px_block=1 vs 8 (does block-contiguous pixel sampling hurt?)
   C. background ray-budget sweep (close the bg-vs-object quality gap)
 
-Each variant runs scripts/eval_synthetic.py's train->mesh->metrics loop and
-the table lands in one JSON. Run on TPU (default env) or --cpu.
+Each variant runs scripts/eval_synthetic.py in its OWN subprocess (the
+tunneled TPU worker occasionally crashes on long-lived processes; isolation
+plus one retry makes the sweep robust) and the table lands in one JSON.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from eval_synthetic import main as eval_main
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+EVAL = os.path.join(REPO, "scripts", "eval_synthetic.py")
 
 
-def run(tag, extra, out, base=None):
-    args = list(base or []) + extra
-    print(f"=== {tag}: {' '.join(args)}", file=sys.stderr)
-    res = eval_main(args)
-    out[tag] = {k: {m: round(v, 4) for m, v in met.items()}
-                for k, met in res.items()}
+def run(tag, extra, out, base):
+    args = base + extra + ["--out", f"/tmp/quality_{tag}.json"]
+    print(f"=== {tag}: {' '.join(args)}", file=sys.stderr, flush=True)
+    for attempt in (1, 2):
+        r = subprocess.run([sys.executable, EVAL] + args,
+                           capture_output=True, text=True, timeout=3600)
+        if r.returncode == 0:
+            break
+        print(f"{tag} attempt {attempt} failed:\n{r.stderr[-1500:]}",
+              file=sys.stderr, flush=True)
+    else:
+        out[tag] = {"error": "failed twice"}
+        return
+    print(r.stdout.strip(), file=sys.stderr, flush=True)
+    with open(f"/tmp/quality_{tag}.json") as f:
+        out[tag] = {k: {m: round(v, 4) for m, v in met.items()}
+                    for k, met in json.load(f).items()}
 
 
 def main():

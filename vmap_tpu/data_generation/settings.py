@@ -12,7 +12,7 @@ replays ``traj_w_c.txt`` the same way, habitat_renderer.py:150-176).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
