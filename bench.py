@@ -93,6 +93,8 @@ def build_workload(compute_dtype: str = "float32", fused: bool = True,
 def run(frames: int = 100, compute_dtype: str = "float32",
         fused: bool = True) -> dict:
     import jax
+    if os.environ.get("BENCH_RNG"):  # e.g. "rbg": TPU hardware RNG
+        jax.config.update("jax_default_prng_impl", os.environ["BENCH_RNG"])
 
     step, st, (bank_obj, bank_bg, pool, obj_tab, obj_ids, bg_tab) = \
         build_workload(compute_dtype, fused)

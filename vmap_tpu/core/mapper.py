@@ -85,13 +85,26 @@ class Mapper:
         # layout across frames (kernels/train_step.py PreparedBank); the
         # flat BankState views used by meshing/eval/checkpointing are
         # materialised lazily and cached until the next training step.
-        # The fused Pallas kernel is a single-chip program — on a multi-device
-        # mesh the sharded XLA step runs instead (each device trains its
-        # object shard SPMD).
-        self.use_fused = cfg.fused_enabled() and self.mesh is None
+        # On a multi-device mesh the fused kernel runs under shard_map with
+        # the group axis sharded over "obj" (step.make_fused_step_sharded)
+        # when the capacity divides across devices and groups; otherwise
+        # the sharded XLA step runs instead.
+        from vmap_tpu.core.step import pick_group
+        self.use_fused = cfg.fused_enabled()
+        self._fused_sharded = False
+        if self.use_fused and self.mesh is not None:
+            G = pick_group(self.capacity, self.hidden)
+            ng = self.capacity // G
+            d_obj = self.mesh.shape["obj"]
+            if ng % d_obj:
+                print(f"WARNING: fused kernel needs group count {ng} "
+                      f"divisible by the obj mesh axis ({d_obj}); using "
+                      "the sharded XLA step instead")
+                self.use_fused = False
+            else:
+                self._fused_sharded = True
         self._pb_obj = self._pb_bg = None
         if self.use_fused:
-            from vmap_tpu.core.step import pick_group
             from vmap_tpu.kernels.train_step import prepare_bank
             self._pb_obj = prepare_bank(
                 self._bank_obj, pick_group(self.capacity, self.hidden))
@@ -100,6 +113,12 @@ class Mapper:
                 self._pb_bg = prepare_bank(
                     self._bank_bg, pick_group(1, self.hidden_bg))
                 self._bank_bg = None
+            if self._fused_sharded:
+                from vmap_tpu.core.step import place_prepared
+                self._pb_obj = place_prepared(self.mesh, self._pb_obj, "obj")
+                if self._pb_bg is not None:
+                    self._pb_bg = place_prepared(self.mesh, self._pb_bg,
+                                                 None)
 
         self.pool = FramePool(cfg.frame_pool_size, cfg.W, cfg.H)
         self.obj_table = KeyframeTable(self.capacity, cfg.keyframe_buffer_size)
@@ -145,7 +164,11 @@ class Mapper:
                              and self.mesh.shape["data"] > 1),
             px_block=px_block,
         )
-        self._step_fn = make_frame_step(self.statics)
+        if self._fused_sharded:
+            from vmap_tpu.core.step import make_fused_step_sharded
+            self._step_fn = make_fused_step_sharded(self.statics, self.mesh)
+        else:
+            self._step_fn = make_frame_step(self.statics)
         self._forloop_step_fn = None  # built lazily (ablation baseline)
         self._activate_obj = jax.jit(
             lambda b, slot, k, s: bank_lib.activate_slot(b, slot, k, s, self.hidden),

@@ -104,13 +104,19 @@ def pick_group(capacity: int, hidden: int) -> int:
 
 def _sample_bank(key, pool_packed, pool_twc,
                  kf_pool_slot, kf_bbox, n_kf, latest2, obj_ids,
-                 n_frames: int, n_px: int, n_b2s: int, st: StepStatics):
+                 n_frames: int, n_px: int, n_b2s: int, st: StepStatics,
+                 keys=None):
     """Vectorised training-sample gather for a whole bank.
 
     Returns dict of [cap, n_frames*n_px, ...] arrays (rays flattened like
     train.py:213-218). The pool is word-packed (core/pool.py): one 2xu32
     gather per ray replaces five sub-word gathers (~2x faster on TPU), and
     ray directions come from the pinhole formula instead of a cache gather.
+
+    ``keys`` (optional) supplies the per-slot keys directly (shape
+    [cap, 2]) instead of splitting ``key`` — the sharded fused step
+    pre-splits GLOBALLY and passes each shard its slice, so every slot
+    draws the same stream it would single-device.
     """
     cap = kf_pool_slot.shape[0]
     W = pool_packed.shape[1]
@@ -188,7 +194,8 @@ def _sample_bank(key, pool_packed, pool_twc,
         origins_px = jnp.broadcast_to(origins[:, None, :], dirs_w.shape)
         return rgb, depth, state, valid, z, origins_px, dirs_w
 
-    keys = jax.random.split(key, cap)
+    if keys is None:
+        keys = jax.random.split(key, cap)
     rgb, depth, state, valid, z, origins, dirs_w = jax.vmap(sample_one)(
         keys, kf_pool_slot, kf_bbox, n_kf, latest2, obj_ids)
     n_rays = n_frames * n_px
@@ -347,3 +354,89 @@ def make_frame_step(st: StepStatics):
         return bank_obj, bank_bg, metrics
 
     return jax.jit(frame_step, donate_argnums=(0, 1))
+
+
+def make_fused_step_sharded(st: StepStatics, mesh):
+    """Multi-chip variant of the fused frame step: the prepared object bank
+    shards over the mesh's "obj" axis (groups are independent — the Pallas
+    kernel runs per device on its group shard via shard_map), the
+    background bank replicates (its AdamW runs in-kernel, so its rays
+    cannot data-shard; every device computes the identical bg update). The
+    per-slot sampling keys are split GLOBALLY and sliced per shard, so
+    every slot draws the same stream as single-device execution — losses
+    match up to psum ordering.
+
+    Requires bank capacity % (G * mesh obj size) == 0 and the mesh "data"
+    axis is pure replication for this step.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from vmap_tpu.kernels.train_step import fused_frame_prepared
+
+    shard_map_fn = getattr(jax, "shard_map", None)
+    rep_kw = {"check_vma": False}
+    if shard_map_fn is None:  # older jax
+        from jax.experimental.shard_map import shard_map as shard_map_fn
+        rep_kw = {"check_rep": False}
+
+    n_frames = st.n_iter * st.win
+    n_frames_bg = st.n_iter * st.win_bg
+    n_per = st.win * st.n_px
+    n_per_bg = st.win_bg * st.n_px_bg
+    bf16 = st.compute_dtype == "bfloat16"
+
+    def local_step(pb_obj, pb_bg, keys, pool_packed, pool_twc,
+                   obj_tab, obj_ids, bg_tab, k_bg):
+        batch = _sample_bank(None, pool_packed, pool_twc, *obj_tab,
+                             obj_ids, n_frames, st.n_px, st.n_b2s, st,
+                             keys=keys)
+        pb_obj, losses_o = fused_frame_prepared(
+            pb_obj, batch, st.n_iter, n_per, lr=st.lr, wd=st.wd,
+            color_scaling=st.color_scaling,
+            opacity_scaling=st.opacity_scaling, bf16=bf16)
+        loss = jax.lax.psum(losses_o[:, -1].sum(), "obj")
+        loss_mean = jax.lax.psum(losses_o.sum(0), "obj").mean()
+        if st.do_bg:
+            bg_ids = jnp.zeros((1,), jnp.int32)
+            batch_bg = _sample_bank(k_bg, pool_packed, pool_twc, *bg_tab,
+                                    bg_ids, n_frames_bg, st.n_px_bg,
+                                    st.n_b2s_bg, st)
+            pb_bg, losses_b = fused_frame_prepared(
+                pb_bg, batch_bg, st.n_iter, n_per_bg, lr=st.lr, wd=st.wd,
+                color_scaling=st.color_scaling,
+                opacity_scaling=st.opacity_scaling, bf16=bf16)
+            loss = loss + losses_b[:, -1].sum()
+            loss_mean = loss_mean + losses_b.sum(0).mean()
+        return pb_obj, pb_bg, {"loss": loss, "loss_mean": loss_mean}
+
+    def spec_obj(pb):
+        return jax.tree.map(lambda _: P("obj"), pb)
+
+    def spec_rep(tree):
+        return jax.tree.map(lambda _: P(), tree)
+
+    def fused_step(pb_obj, pb_bg, pool_packed, pool_twc,
+                   obj_tab, obj_ids, bg_tab, key):
+        cap = obj_ids.shape[0]
+        k_obj, k_bg = jax.random.split(key)
+        keys = jax.random.split(k_obj, cap)        # global slot streams
+        sharded = shard_map_fn(
+            local_step, mesh=mesh,
+            in_specs=(spec_obj(pb_obj), spec_rep(pb_bg), P("obj"),
+                      P(), P(), (P("obj"),) * 4, P("obj"),
+                      spec_rep(bg_tab), P()),
+            out_specs=(spec_obj(pb_obj), spec_rep(pb_bg),
+                       {"loss": P(), "loss_mean": P()}),
+            **rep_kw)
+        return sharded(pb_obj, pb_bg, keys, pool_packed, pool_twc,
+                       obj_tab, obj_ids, bg_tab, k_bg)
+
+    return jax.jit(fused_step, donate_argnums=(0, 1))
+
+
+def place_prepared(mesh, pb, axis: str | None = "obj"):
+    """device_put a PreparedBank with its leading (group/slot) axis sharded
+    along ``axis`` (None = replicated)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    s = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda a: jax.device_put(a, s), pb)
