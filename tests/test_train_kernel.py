@@ -72,6 +72,7 @@ def ref_frame(bank, batch, n_iter, n_per):
 @pytest.mark.parametrize("G,h,cap,n_per,n_iter,S,n_active", [
     (4, 32, 8, 120, 3, 10, 7),    # object-bank shape (1 ray chunk)
     (1, 16, 2, 200, 2, 5, 2),     # background-like (2 ray chunks)
+    (1, 256, 1, 96, 2, 4, 1),     # iMAP single-field shape (hidden 256)
 ])
 def test_fused_matches_xla(G, h, cap, n_per, n_iter, S, n_active):
     key = jax.random.PRNGKey(0)
