@@ -70,20 +70,47 @@ def eval_points(pe, mlp_p, scale, points: np.ndarray, max_deg: int = 5,
     return np.concatenate(occs), np.concatenate(cols)
 
 
-def object_points(mapper, obj_id: int, stride: int = 4) -> np.ndarray:
+def slot_unpack_cache(mapper, slots) -> dict:
+    """Unpack the given pool slots ONCE (one device dispatch + one
+    transfer) -> {pool_slot: (depth_m f32 [W,H], inst i32 [W,H])}, plus
+    the pose table under key "twc". Bitwise-identical to the per-slot
+    FramePool unpack (same u32 ops, same f32 x 1e-3)."""
+    slots = sorted(set(slots))
+    if not slots:
+        return {"twc": np.asarray(mapper.pool.twc)}
+    arr = mapper.pool.packed[jnp.asarray(slots, jnp.int32)]
+    w1 = arr[..., 1]
+    depth = (w1 & 0xFFFF).astype(jnp.float32) * 1e-3
+    inst = ((w1 >> 16) & 0xFFFF).astype(jnp.int32) - 1
+    depth_np, inst_np, twc = jax.device_get(
+        (depth, inst, mapper.pool.twc))
+    cache = {s: (depth_np[i], inst_np[i]) for i, s in enumerate(slots)}
+    cache["twc"] = np.asarray(twc)
+    return cache
+
+
+def object_points(mapper, obj_id: int, stride: int = 4,
+                  cache: dict | None = None) -> np.ndarray:
     """World points from masked depth over every stored keyframe of an
     object (subsampled by ``stride`` for speed). Counterpart of the
-    per-keyframe Open3D unprojection union in get_bound (vmap.py:270-283)."""
+    per-keyframe Open3D unprojection union in get_bound (vmap.py:270-283).
+    ``cache`` (from slot_unpack_cache) avoids the per-slot device
+    round-trips when meshing many objects."""
     from vmap_tpu.geometry.pointcloud import unproject_depth
     cfg = mapper.cfg
     rec = mapper.registry[obj_id]
     table = mapper.bg_table if rec.is_bg else mapper.obj_table
     t = table.objects[rec.slot]
-    twc_pool = np.asarray(mapper.pool.twc)
+    twc_pool = (cache["twc"] if cache is not None
+                else np.asarray(mapper.pool.twc))
     pts = []
     for _local, pool_slot in t.all_slots():
-        depth = mapper.pool.slot_depth_m(pool_slot)
-        mask = mapper.pool.slot_inst(pool_slot) == obj_id
+        if cache is not None and pool_slot in cache:
+            depth, inst_map = cache[pool_slot]
+            mask = inst_map == obj_id
+        else:
+            depth = mapper.pool.slot_depth_m(pool_slot)
+            mask = mapper.pool.slot_inst(pool_slot) == obj_id
         if not mask.any():
             continue
         d = depth[::stride, ::stride]
@@ -97,11 +124,12 @@ def object_points(mapper, obj_id: int, stride: int = 4) -> np.ndarray:
     return np.concatenate(pts)
 
 
-def object_bound(mapper, obj_id: int, stride: int = 4) -> OrientedBox | None:
+def object_bound(mapper, obj_id: int, stride: int = 4,
+                 cache: dict | None = None) -> OrientedBox | None:
     """Minimal OBB over the object's observed surface points; None when
     degenerate (reference returns None on QhullError, vmap.py:291-296).
     Extents floored at 10 cm (vmap.py:298-299, 306-307)."""
-    pts = object_points(mapper, obj_id, stride=stride)
+    pts = object_points(mapper, obj_id, stride=stride, cache=cache)
     if len(pts) < 10:
         return None
     box = obb_from_points(pts, min_extent=0.10)
@@ -238,9 +266,18 @@ def mesh_all_objects(mapper, obj_ids=None, chunk: int = MESH_CHUNK,
     if obj_ids is None:
         obj_ids = [oid for oid in sorted(mapper.registry)
                    if not mapper.registry[oid].is_bg]
+    # one pool unpack for ALL objects' bounds (the per-slot round-trips in
+    # object_points dominate export time past ~10 objects)
+    used_slots = set()
+    for oid in obj_ids:
+        rec = mapper.registry[oid]
+        t = mapper.obj_table.objects.get(rec.slot)
+        if t is not None:
+            used_slots.update(ps for _l, ps in t.all_slots())
+    cache = slot_unpack_cache(mapper, used_slots)
     work = []
     for oid in obj_ids:
-        bound = mapper.get_bound(oid)
+        bound = object_bound(mapper, oid, cache=cache)
         if bound is None:
             continue
         gd = adaptive_grid_dim(bound, cfg.live_voxel_size, cfg.grid_dim)
