@@ -43,8 +43,13 @@ def build_workload(compute_dtype: str = "float32", fused: bool = True,
     from vmap_tpu.core.bank import activate_slot, init_bank
     from vmap_tpu.core.step import StepStatics, make_frame_step, pick_group
 
-    # Replica room0 vMAP config shapes (configs/Replica/..._vMAP.json)
+    # Replica room0 vMAP config shapes (configs/Replica/..._vMAP.json).
+    # The bank allocates SLOTS = 104 (capacity rounds to the G*8 = 32-ray
+    # render-merge granule) but only the 100 workload objects are ACTIVE —
+    # the 4 inactive pad slots still flow through the kernel fully masked,
+    # i.e. the measured work covers >= the 100-object workload.
     CAP, HIDDEN, HIDDEN_BG = 100, 32, 128
+    SLOTS = -(-CAP // 8) * 8
     W, H, KF = 1200, 680, 20
     POOL = 16
 
@@ -59,13 +64,14 @@ def build_workload(compute_dtype: str = "float32", fused: bool = True,
 
     key = jax.random.PRNGKey(0)
     # init_bank already gives every slot fresh per-key params
-    bank_obj = init_bank(key, CAP, HIDDEN, 2.0)
-    bank_obj = bank_obj.replace(active=jnp.ones((CAP,), bool))
+    bank_obj = init_bank(key, SLOTS, HIDDEN, 2.0)
+    bank_obj = bank_obj.replace(
+        active=jnp.arange(SLOTS) < CAP)        # 100 active, 4 masked pads
     bank_bg = init_bank(jax.random.fold_in(key, 1), 1, HIDDEN_BG, 5.0)
     bank_bg = activate_slot(bank_bg, 0, jax.random.fold_in(key, 2), 5.0, HIDDEN_BG)
     if fused:
         from vmap_tpu.kernels.train_step import prepare_bank
-        bank_obj = prepare_bank(bank_obj, pick_group(CAP, HIDDEN))
+        bank_obj = prepare_bank(bank_obj, pick_group(SLOTS, HIDDEN))
         bank_bg = prepare_bank(bank_bg, pick_group(1, HIDDEN_BG))
 
     rng = np.random.default_rng(0)
@@ -77,12 +83,12 @@ def build_workload(compute_dtype: str = "float32", fused: bool = True,
                     jnp.uint32),
         jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (POOL, 1, 1)),
     )
-    kf_pool = jnp.asarray(rng.integers(0, POOL, (CAP, KF)), jnp.int32)
-    bbox = jnp.tile(jnp.asarray([100, 500, 100, 400], jnp.float32), (CAP, KF, 1))
-    n_kf = jnp.full((CAP,), KF - 1, jnp.int32)
-    latest2 = jnp.tile(jnp.asarray([KF - 3, KF - 2], jnp.int32), (CAP, 1))
+    kf_pool = jnp.asarray(rng.integers(0, POOL, (SLOTS, KF)), jnp.int32)
+    bbox = jnp.tile(jnp.asarray([100, 500, 100, 400], jnp.float32), (SLOTS, KF, 1))
+    n_kf = jnp.full((SLOTS,), KF - 1, jnp.int32)
+    latest2 = jnp.tile(jnp.asarray([KF - 3, KF - 2], jnp.int32), (SLOTS, 1))
     obj_tab = (kf_pool, bbox, n_kf, latest2)
-    obj_ids = jnp.arange(CAP, dtype=jnp.int32)
+    obj_ids = jnp.arange(SLOTS, dtype=jnp.int32)
     bg_bbox = jnp.tile(jnp.asarray([0, W, 0, H], jnp.float32), (1, KF, 1))
     bg_tab = (kf_pool[:1], bg_bbox, n_kf[:1], latest2[:1])
 

@@ -7,7 +7,8 @@ workload (G=4, 25 groups, 20 iters):
   bwd      : matmul-bwd kept, dirs-bwd + demb skipped (cheap fake grads)
   bwdall   : forward + render/loss only            -> whole backward cost
   static0  : batch reads pinned to chunk 0         -> dynamic-read cost
-Run with arg "bf16" for bfloat16 matmuls.
+Run with arg "bf16" for bfloat16 matmuls; arg "bg" ablates the BACKGROUND
+bank kernel (G=1, h=128, 10 ray chunks/iter) instead of the object bank.
 """
 
 from __future__ import annotations
@@ -41,18 +42,27 @@ def timed(fn, *args, n=20):
 
 
 def main():
-    bf16 = len(sys.argv) > 1 and sys.argv[1] == "bf16"
+    bf16 = "bf16" in sys.argv[1:]
+    bg = "bg" in sys.argv[1:]
     _, st, ws = build_workload("bfloat16" if bf16 else "float32", fused=True)
     pb_obj, pb_bg, pool, obj_tab, obj_ids, bg_tab = ws
-    n_frames = st.n_iter * st.win
-    n_per = st.win * st.n_px
     key = jax.random.PRNGKey(0)
-    batch = jax.jit(lambda k: _sample_bank(
-        k, *pool, *obj_tab, obj_ids, n_frames, st.n_px, st.n_b2s, st))(key)
+    if bg:
+        pb_obj = pb_bg
+        n_frames = st.n_iter * st.win_bg
+        n_per = st.win_bg * st.n_px_bg
+        batch = jax.jit(lambda k: _sample_bank(
+            k, *pool, *bg_tab, jnp.zeros((1,), jnp.int32), n_frames,
+            st.n_px_bg, st.n_b2s_bg, st))(key)
+    else:
+        n_frames = st.n_iter * st.win
+        n_per = st.win * st.n_px
+        batch = jax.jit(lambda k: _sample_bank(
+            k, *pool, *obj_tab, obj_ids, n_frames, st.n_px, st.n_b2s, st))(key)
     batch = {k: v for k, v in batch.items() if k != "pts"}
     batch = jax.device_put(batch)
 
-    res = {"bf16": bf16}
+    res = {"bf16": bf16, "bank": "bg" if bg else "obj"}
     for tag, abl in (("full", frozenset()),
                      ("no_adam", frozenset({"adam"})),
                      ("no_dirsbwd", frozenset({"bwd"})),

@@ -1,5 +1,13 @@
-"""A/B the groups-per-invocation ILP experiment at cap=104 (ng=26, so
-gpi 1 and 2 both divide). Object bank only, readback-synced."""
+"""A/B object-bank kernel variants via env knobs at cap=104 (ng=26).
+
+Each argv item is a comma-separated ENV=VAL spec applied before (re)tracing
+the kernel, e.g.:
+
+    python scripts/bench_kernel_ab.py VMAP_NS=1 VMAP_NS=2 \
+        VMAP_NS=2,VMAP_UNROLL=1
+
+Knobs: VMAP_NS (render subgroups per invocation), VMAP_UNROLL (static
+iteration unroll). Object bank only, readback-synced, best of 5x20."""
 
 from __future__ import annotations
 
@@ -64,13 +72,19 @@ def main():
             best = min(best, (time.time() - t0) / n)
         return best * 1000
 
-    for gpi in sys.argv[1:] or ["1", "2"]:
-        os.environ["VMAP_GPI"] = gpi
+    for spec in sys.argv[1:] or ["VMAP_NS=1", "VMAP_NS=2",
+                                 "VMAP_NS=2,VMAP_UNROLL=1"]:
+        envs = dict(kv.split("=") for kv in spec.split(","))
+        for k, v in envs.items():
+            os.environ[k] = v
         fn = jax.jit(lambda pb, b: fused_frame_prepared(
-            pb, b, st.n_iter, n_per, lr=st.lr, wd=st.wd, bf16=True)[1])
+            pb, b, st.n_iter, n_per, lr=st.lr, wd=st.wd, bf16=False)[1])
+        t0 = time.time()
         ms = timed(fn, pb, batch)
-        print(f"gpi={gpi}: {ms:.2f} ms")
+        print(f"{spec}: {ms:.2f} ms (compile+run0 {time.time()-t0:.0f}s)")
         jax.clear_caches()
+        for k in envs:
+            del os.environ[k]
 
 
 if __name__ == "__main__":

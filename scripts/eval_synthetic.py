@@ -31,7 +31,7 @@ def main(argv=None):
     p.add_argument("--cpu", action="store_true")
     # quality-study knobs (bf16 / block-sampling / background budget)
     p.add_argument("--dtype", default="float32",
-                   choices=["float32", "bfloat16"])
+                   choices=["float32", "bfloat16", "bwd_bf16"])
     p.add_argument("--px_block", type=int, default=1)
     p.add_argument("--bg_rays", type=int, default=80)
     p.add_argument("--bg_hidden", type=int, default=32)

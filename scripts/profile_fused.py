@@ -69,12 +69,19 @@ def main():
     res["A_sampling_ms"] = round(ms, 2)
 
     # ---- B: batch layout transforms ----
+    ns_obj = TS.pick_ns(pb_obj.G, pb_obj.spec.hidden,
+                        pb_obj.capacity // pb_obj.G, n_per)
+    ns_bg = TS.pick_ns(pb_bg.G, pb_bg.spec.hidden,
+                       pb_bg.capacity // pb_bg.G, n_per_bg)
+
     @jax.jit
     def bprep(batch, batch_bg):
         b = TS._prepare_batch(batch, pb_obj.scale, pb_obj.active,
-                              pb_obj.step, st.n_iter, n_per, pb_obj.G)
+                              pb_obj.step, st.n_iter, n_per, pb_obj.G,
+                              ns_obj)
         bb = TS._prepare_batch(batch_bg, pb_bg.scale, pb_bg.active,
-                               pb_bg.step, st.n_iter, n_per_bg, pb_bg.G)
+                               pb_bg.step, st.n_iter, n_per_bg, pb_bg.G,
+                               ns_bg)
         return b["o"], bb["o"]
 
     ms, _ = timed(bprep, batch, batch_bg)

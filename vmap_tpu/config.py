@@ -109,7 +109,8 @@ class Config:
 
     # TPU-specific (new)
     frame_pool_size: int = 64
-    compute_dtype: str = "float32"   # or "bfloat16" for matmul activations
+    compute_dtype: str = "float32"   # or "bfloat16" (all matmuls) /
+    # "bwd_bf16" (f32 forward, bf16 backward matmuls in the fused kernel)
     seed: int = 0
     mesh_axes: dict = field(default_factory=dict)  # e.g. {"obj": 4, "data": 2}
     # monolithic fused Pallas train-frame kernel: "auto" enables it on TPU

@@ -93,6 +93,16 @@ class StepStatics:
     px_block: int = 1
 
 
+def _kernel_mm_policy(compute_dtype: str) -> str:
+    """StepStatics.compute_dtype -> fused-kernel matmul dtype policy.
+    "float32" -> all-f32; "bfloat16" -> all-bf16 operands (f32 accumulate);
+    "bwd_bf16" -> f32 forward, bf16 backward matmuls (quality-neutral:
+    gradient rounding is absorbed by AdamW's second-moment normalisation).
+    """
+    return {"float32": "f32", "bfloat16": "bf16",
+            "bwd_bf16": "bwd_bf16"}[compute_dtype]
+
+
 def pick_group(capacity: int, hidden: int) -> int:
     """Largest MXU-friendly object group size dividing the bank capacity:
     128/hidden objects share one 128-wide block-diagonal tile."""
@@ -272,7 +282,7 @@ def make_frame_step(st: StepStatics):
 
     if st.use_fused_frame:
         from vmap_tpu.kernels.train_step import fused_frame_prepared
-        bf16 = st.compute_dtype == "bfloat16"
+        bf16 = _kernel_mm_policy(st.compute_dtype)
 
         def fused_step(pb_obj, pb_bg, pool_packed, pool_twc,
                        obj_tab, obj_ids, bg_tab, key):
@@ -383,7 +393,7 @@ def make_fused_step_sharded(st: StepStatics, mesh):
     n_frames_bg = st.n_iter * st.win_bg
     n_per = st.win * st.n_px
     n_per_bg = st.win_bg * st.n_px_bg
-    bf16 = st.compute_dtype == "bfloat16"
+    bf16 = _kernel_mm_policy(st.compute_dtype)
 
     def local_step(pb_obj, pb_bg, keys, pool_packed, pool_twc,
                    obj_tab, obj_ids, bg_tab, k_bg):

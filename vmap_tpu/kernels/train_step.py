@@ -295,16 +295,45 @@ def unprepare_params(prep: dict, spec, G: int) -> jax.Array:
 _PI = np.float32(np.pi)
 
 
-def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
-                 lr: float, wd: float, cs: float, osc: float, bf16: bool,
-                 ablate: frozenset = frozenset(), gpi: int = 1):
-    """Kernel body for one GROUP invocation: every iteration of the frame.
+def _mm_policy(bf16) -> str:
+    """Normalise the matmul dtype policy: False/"f32" (all f32),
+    True/"bf16" (all matmuls bf16 operands, f32 accumulate), or
+    "bwd_bf16" (forward f32; backward weight/activation-grad matmuls
+    bf16 — gradient noise the masked AdamW normalises away)."""
+    if bf16 is True:
+        return "bf16"
+    if bf16 is False:
+        return "f32"
+    assert bf16 in ("f32", "bf16", "bwd_bf16"), bf16
+    return bf16
 
-    Grid is (n_groups,): the whole 20-iteration optimisation of a group runs
+
+def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
+                 lr: float, wd: float, cs: float, osc: float, bf16,
+                 ablate: frozenset = frozenset(), ns: int = 1,
+                 unroll: bool = False, grid_iters: bool = False):
+    """Kernel body for one invocation: every iteration of the frame for
+    ``ns`` object groups whose render sections are MERGED.
+
+    Grid is (n_groups / ns,): the whole 20-iteration optimisation runs
     inside one invocation (``lax.fori_loop`` over iterations, ray chunks
     unrolled), with parameters and Adam moments resident in the VMEM output
     blocks. This removes the measured ~4 us/invocation grid overhead that a
     (groups, iters, chunks) grid paid 500 times per frame.
+
+    Render merging (``ns`` subgroups): matmuls keep the block-diagonal
+    G-object grouping (G = 128/h fills the MXU tile), but per-ray arrays
+    are [OG=8, T] VPU tiles — at G=4 only half the sublanes carry data, so
+    the whole render/loss/backward-head section ran at 50% VPU density
+    (12.5% for a G=1 bank). With ns = OG/G subgroups per invocation, the
+    per-ray operands (z, depth, masks, gt colour, loss normalisers) are
+    pre-merged to dense rows sub*G+g by the batch layout, the forward runs
+    per subgroup, and the alpha/colour-logit outputs merge by a sublane
+    roll + add — exact, because the pad rows of each subgroup's heads are
+    structurally zero. Render/loss/backward-to-d(alpha,logits) then run
+    ONCE on dense rows; the per-subgroup backward consumes sublane-rolled
+    slices (junk rows are annihilated by the structurally-zero head weight
+    rows and the Adam block masks).
 
     Points are built in-kernel from per-ray origins/dirs (pre-divided by the
     object scale) and the sample depths z: xs = o + z*d. This keeps the HBM
@@ -314,8 +343,12 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
     """
     HG = G * h
     DG = DPG * G
-    cdt = jnp.bfloat16 if bf16 else jnp.float32
+    policy = _mm_policy(bf16)
     f32 = jnp.float32
+    # cdt: forward matmul operand dtype (stored activations included);
+    # bdt: backward matmul operand dtype.
+    cdt = jnp.bfloat16 if policy == "bf16" else f32
+    bdt = jnp.bfloat16 if policy in ("bf16", "bwd_bf16") else f32
     NP = len(P_NAMES)
     NC = n_chunks
     shapes = group_layout(G, h)
@@ -355,9 +388,13 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
         loss_ref = refs[21]
         pout_w, pout_b, mout_w, mout_b, vout_w, vout_b = state_out
 
-        for dst, src in zip(state_out, state_in):
-            dst[:] = src[:]
-        loss_ref[:] = jnp.zeros_like(loss_ref)
+        def init_state():
+            for dst, src in zip(state_out, state_in):
+                dst[:] = src[:]
+            loss_ref[:] = jnp.zeros_like(loss_ref)
+
+        if not grid_iters:
+            init_state()
 
         def view(wref, bref, n, gg):
             kind, off, r, c = loc[n]
@@ -372,17 +409,27 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
             else:
                 bref[gg, 0:r, c:c + 1] = val
 
-        # z rows [OG] -> xs rows [XP]: row 3g+c reads z row g
+        # z rows (merged: sub*G+g) -> xs rows [XP]: row 3g+c reads z row
+        # sub*G+g for subgroup ``sub``
         zri = jax.lax.broadcasted_iota(jnp.int32, (XP, OG), 0)
         zci = jax.lax.broadcasted_iota(jnp.int32, (XP, OG), 1)
-        zbmat = ((zri // 3 == zci) & (zri < 3 * G)).astype(f32)
+        zbmats = [((zri // 3 + sub * G == zci) & (zri < 3 * G)).astype(f32)
+                  for sub in range(ns)]
         masks = {n: blockmask(n) for n in P_NAMES}
         rowi = jax.lax.broadcasted_iota(jnp.int32, (DG, 1), 0)
         xsrow = (rowi % DPG) >= 21
         coli_og = jax.lax.broadcasted_iota(jnp.int32, (OG, 128), 1)
 
-        # per-row -> per-object expansion one-hots for the Adam scalars
-        def expand_oh(rows: int, mode: str):
+        def _roll_rows(x, k: int):
+            """Sublane roll by k rows (merged-row <-> subgroup-row shift)."""
+            if k == 0:
+                return x
+            k = k % x.shape[0]
+            return jnp.concatenate([x[x.shape[0] - k:], x[:x.shape[0] - k]],
+                                   0)
+
+        # per-row -> per-MERGED-object expansion one-hots for Adam scalars
+        def expand_oh(rows: int, mode: str, sub: int):
             ri = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
             if mode == "dirs":
                 ro = ri // DPG
@@ -393,11 +440,12 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
             else:
                 ro = ri // h
             ci = jax.lax.broadcasted_iota(jnp.int32, (rows, OG), 1)
-            return (ro == ci).astype(f32)
+            return (ro + sub * G == ci).astype(f32)
 
-        ohs = {"div": expand_oh(HG, "div"), "dirs": expand_oh(DG, "dirs"),
-               "alpha": expand_oh(OG, "alpha"),
-               "head": expand_oh(3 * OG, "head")}
+        ohs = {(m, sub): expand_oh(r, m, sub)
+               for m, r in (("div", HG), ("dirs", DG), ("alpha", OG),
+                            ("head", 3 * OG))
+               for sub in range(ns)}
 
         def cls(n):
             if n == "dirs":
@@ -415,14 +463,15 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
         # masked entries and inactive objects bit-identical. (Hoisting the
         # bias-correction row-vectors for all iterations as [rows, NI] was
         # tried; Mosaic has no value-dynamic_slice to extract column `it`.)
+        actv0 = wmul_ref[0, 0, 5 * OG:6 * OG]        # [OG, 1] frame-const
         updb, maskf = [], []
-        for gg in range(gpi):
-            actv0 = wmul_ref[gg, 0, 5 * OG:6 * OG]    # [OG, 1] frame-const
-            actrows = {mode: jnp.dot(oh, actv0, preferred_element_type=f32)
-                       for mode, oh in ohs.items()}
+        for sub in range(ns):
+            actrows = {m: jnp.dot(ohs[(m, sub)], actv0,
+                                  preferred_element_type=f32)
+                       for m in ("div", "dirs", "alpha", "head")}
             updb.append({n: (actrows[cls(n)] > 0) & masks[n]
                          for n in P_NAMES})
-            maskf.append({n: jnp.where(updb[gg][n], 1.0, 0.0)
+            maskf.append({n: jnp.where(updb[sub][n], 1.0, 0.0)
                           for n in P_NAMES})
 
         # Lane-mixing constants for the full-width render/loss section:
@@ -457,25 +506,27 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
 
         def mTv(w, dy):     # [m,k] x [m,T] -> [k,T], contract m
             return jax.lax.dot_general(
-                w.astype(cdt), dy, (((0,), (0,)), ((), ())),
+                w.astype(bdt), dy, (((0,), (0,)), ((), ())),
                 preferred_element_type=f32)
 
         def pos(a):         # Mosaic cannot compare bf16 vectors; mask in f32
             return a.astype(f32) > 0
 
-        def chunk_grads(p, idx, w3, gg):
-            """Forward + render/loss + backward for one 128-ray chunk.
-            Returns (grads dict, per-object loss [OG, 1])."""
+        def tile(a, s):
+            return a[:, s * R_TILE:(s + 1) * R_TILE]
+
+        def fwd_chunk(p, idx, sub):
+            """Forward for one 128-ray chunk of subgroup ``sub``. Returns
+            (alpha [OG, T], colour logits [3OG, T], saved activations);
+            alpha/logit pad rows are structurally zero, so the caller
+            merges subgroups by sublane-roll + add."""
             if "static0" in ablate:   # profiling: cost of dynamic batch reads
                 idx = 0
-            o = o_ref[gg, idx]                                 # [XP, 128]
-            d = d_ref[gg, idx]
-            z = z_ref[gg, idx]                                 # [OG, T]
+            o = o_ref[sub, idx]                                # [XP, 128]
+            d = d_ref[sub, idx]
+            z = z_ref[0, idx]                                  # [OG, T] merged
 
-            def tile(a, s):
-                return a[:, s * R_TILE:(s + 1) * R_TILE]
-
-            zb = jnp.dot(zbmat, z, preferred_element_type=f32)  # [XP, T]
+            zb = jnp.dot(zbmats[sub], z, preferred_element_type=f32)
             xs = jnp.concatenate(
                 [o + tile(zb, s) * d for s in range(S)], 1)     # [XP, T]
 
@@ -514,20 +565,22 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
                                + mm(p["w_col_x"], emb_b)
                                + p["b_col"]).astype(cdt)
             logits = mm(p["w_out"], cact) + p["b_out"]             # [3*OG,T]
-            color = jax.nn.sigmoid(logits)
+            saved = {"xs": xs, "coss": coss, "emb_a": emb_a,
+                     "emb_b": emb_b, "h1": h1, "h2": h2, "h3": h3,
+                     "h4": h4, "cact": cact}
+            return alpha, logits, saved
 
-            if "render" in ablate:  # profiling: fwd matmuls only
-                lobj = (jnp.sum(alpha[:, 0:1], 1, keepdims=True)
-                        + jnp.sum(color[0:OG, 0:1], 1, keepdims=True))
-                return {n: jnp.zeros(shapes[n], f32) + lobj[0, 0]
-                        for n in P_NAMES}, lobj
-
+        def render_bwd(idx, w3, alpha, logits, z):
+            """Render + losses + backward-to-(dalpha, dlogits) on MERGED
+            dense rows. Returns (per-merged-object loss [OG, 1], dalpha
+            [OG, T] or None, dlogits [3OG, T] or None)."""
             # ------------- render + losses (f32, full-width) -------------
             # Everything that can be [OG, T]-wide is (the original per-s
             # [OG, 128] tile chains were ~3 ms/frame of VPU issue overhead);
             # only the inherently sequential cumulative/suffix products run
             # per tile, and per-ray reductions/broadcasts ride the MXU via
             # lane_sum/bcast.
+            color = jax.nn.sigmoid(logits)
             occ = jax.nn.sigmoid(alpha)
             # 1 - occ + 1e-10 can const-fold to exactly 0 at occ == 1 under
             # some compilation paths; clamp so the cumprod backward's
@@ -548,11 +601,11 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
             terms3 = jnp.dot(rep3, terms, preferred_element_type=f32)
             RC3 = lane_sum(terms3 * color)                     # [3OG, 128]
 
-            dep = dep_ref[gg, idx]
-            mo = mo_ref[gg, idx]
-            msm = ms_ref[gg, idx]
-            md = md_ref[gg, idx]
-            gtc = col_ref[gg, idx]                             # [3*OG, 128]
+            dep = dep_ref[0, idx]
+            mo = mo_ref[0, idx]
+            msm = ms_ref[0, idx]
+            md = md_ref[0, idx]
+            gtc = col_ref[0, idx]                              # [3*OG, 128]
             w_d, w_c, w_o = w3[0:OG], w3[OG:2 * OG], w3[2 * OG:3 * OG]
 
             res_d = RD - dep
@@ -566,10 +619,9 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
             lo = jnp.sum(jnp.abs(res_o) * msm, 1, keepdims=True) * w_o
             lobj = ld + cs * lc + osc * lo                     # [OG, 1]
 
-            # ---------------- backward ----------------
+            # ------------- backward to (dalpha, dlogits) -------------
             if "bwdall" in ablate:  # profiling ablation: fwd+loss only
-                return {n: jnp.zeros(shapes[n], f32) + lobj[0, 0]
-                        for n in P_NAMES}, lobj
+                return lobj, None, None
             dRD = jnp.sign(res_d) * md * info * w_d            # [OG, 128]
             dRO = jnp.sign(res_o) * msm * (w_o * osc)
             w_c3 = jnp.dot(rep3, w_c * cs, preferred_element_type=f32)
@@ -591,43 +643,62 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
             dalpha = docc * occ * (1.0 - occ) * 10.0           # [OG, T]
             dcolor = dRC3_b * terms3                           # [3OG, T]
             dlogits = dcolor * color * (1.0 - color)
+            return lobj, dalpha, dlogits
 
-            da_c = dalpha.astype(cdt)
-            dl_c = dlogits.astype(cdt)
+        def bwd_chunk(p, sv, dalpha, dlogits, lobj):
+            """Backward matmul chain for one subgroup from its sublane-
+            rolled (dalpha, dlogits) slices. Junk rows (other subgroups'
+            data wrapped into the pad rows) are annihilated by the
+            structurally-zero head-weight pad rows and the Adam block
+            masks. Returns the grads dict."""
+            cact, h4, h3, h2, h1 = (sv["cact"], sv["h4"], sv["h3"],
+                                    sv["h2"], sv["h1"])
+            emb_a, emb_b, coss, xs = (sv["emb_a"], sv["emb_b"], sv["coss"],
+                                      sv["xs"])
+            da_c = dalpha.astype(bdt)
+            dl_c = dlogits.astype(bdt)
+            # backward-side operand casts (no-ops unless policy=bwd_bf16)
+            cact_b = cact.astype(bdt)
+            h4_b = h4.astype(bdt)
+            h3_b = h3.astype(bdt)
+            h2_b = h2.astype(bdt)
+            h1_b = h1.astype(bdt)
+            emb_a_b = emb_a.astype(bdt)
+            emb_b_b = emb_b.astype(bdt)
 
             g = {}
-            g["w_out"] = mmT(dl_c, cact)
+            g["w_out"] = mmT(dl_c, cact_b)
             g["b_out"] = jnp.sum(dlogits, 1, keepdims=True)
             dc = mTv(p["w_out"], dl_c) * pos(cact)
-            dc_c = dc.astype(cdt)
-            g["w_col_h"] = mmT(dc_c, h4)
-            g["w_col_x"] = mmT(dc_c, emb_b)
+            dc_c = dc.astype(bdt)
+            g["w_col_h"] = mmT(dc_c, h4_b)
+            g["w_col_x"] = mmT(dc_c, emb_b_b)
             g["b_col"] = jnp.sum(dc, 1, keepdims=True)
-            g["w_alpha"] = mmT(da_c, h4)
+            g["w_alpha"] = mmT(da_c, h4_b)
             g["b_alpha"] = jnp.sum(dalpha, 1, keepdims=True)
             dh4 = (mTv(p["w_col_h"], dc_c)
                    + mTv(p["w_alpha"], da_c)) * pos(h4)
-            dh4_c = dh4.astype(cdt)
-            g["w_mid2"] = mmT(dh4_c, h3)
+            dh4_c = dh4.astype(bdt)
+            g["w_mid2"] = mmT(dh4_c, h3_b)
             g["b_mid2"] = jnp.sum(dh4, 1, keepdims=True)
             dh3 = mTv(p["w_mid2"], dh4_c) * pos(h3)
-            dh3_c = dh3.astype(cdt)
-            g["w_cat_h"] = mmT(dh3_c, h2)
-            g["w_cat_x"] = mmT(dh3_c, emb_a)
+            dh3_c = dh3.astype(bdt)
+            g["w_cat_h"] = mmT(dh3_c, h2_b)
+            g["w_cat_x"] = mmT(dh3_c, emb_a_b)
             g["b_cat"] = jnp.sum(dh3, 1, keepdims=True)
             dh2 = mTv(p["w_cat_h"], dh3_c) * pos(h2)
-            dh2_c = dh2.astype(cdt)
-            g["w_mid1"] = mmT(dh2_c, h1)
+            dh2_c = dh2.astype(bdt)
+            g["w_mid1"] = mmT(dh2_c, h1_b)
             g["b_mid1"] = jnp.sum(dh2, 1, keepdims=True)
             dh1 = mTv(p["w_mid1"], dh2_c) * pos(h1)
-            dh1_c = dh1.astype(cdt)
-            g["w_in"] = mmT(dh1_c, emb_a)
+            dh1_c = dh1.astype(bdt)
+            g["w_in"] = mmT(dh1_c, emb_a_b)
             g["b_in"] = jnp.sum(dh1, 1, keepdims=True)
 
             demb_a = mTv(p["w_in"], dh1_c) + mTv(p["w_cat_x"], dh3_c)
             if "bwd" in ablate:   # profiling ablation: cheap fake grads
                 return {n: jnp.zeros(shapes[n], f32) + lobj[0, 0]
-                        for n in P_NAMES}, lobj
+                        for n in P_NAMES}
             demb_b = mTv(p["w_col_x"], dc_c)
             # xs rows: band-0 routes xs grads into the structural identity
             # rows; bands 1..5 have zero weight columns there, so their
@@ -641,56 +712,110 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
                 fq = _PI * np.float32(2.0 ** k)
                 dproj = dproj + fq * coss[k] * blk
             g["dirs"] = jax.lax.dot_general(
-                dproj.astype(cdt), xs.astype(cdt), (((1,), (1,)), ((), ())),
+                dproj.astype(bdt), xs.astype(bdt), (((1,), (1,)), ((), ())),
                 preferred_element_type=f32)
-            return g, lobj
+            return g
 
-        def group_iteration(it, gg):
-            """One optimisation iteration of in-invocation group ``gg``.
-            With gpi > 1 the per-group programs are data-independent, so
-            the VLIW scheduler can overlap one group's VPU render/loss
-            with another's MXU matmul chain."""
-            p = {n: view(pout_w, pout_b, n, gg) for n in P_NAMES}
-            w3 = wmul_ref[gg, it]                              # [6*OG, 1]
-            g, lobj = chunk_grads(p, it * NC, w3, gg)
-            for ch in range(1, NC):
-                g2, l2 = chunk_grads(p, it * NC + ch, w3, gg)
-                g = {n: g[n] + g2[n] for n in P_NAMES}
-                lobj = lobj + l2
-            loss_ref[gg] = loss_ref[gg] + jnp.where(coli_og == it, lobj,
-                                                    0.0)
+        def fake_grads(lobj):
+            return {n: jnp.zeros(shapes[n], f32) + lobj[0, 0]
+                    for n in P_NAMES}
+
+        def iteration(it):
+            """One optimisation iteration for all ``ns`` merged subgroups:
+            per-subgroup forward -> merged render/loss/backward-head ->
+            per-subgroup backward -> per-subgroup masked AdamW."""
+            w3 = wmul_ref[0, 0] if grid_iters else wmul_ref[0, it]
+            ps = [{n: view(pout_w, pout_b, n, sub) for n in P_NAMES}
+                  for sub in range(ns)]
+            gacc = None
+            lacc = None
+            for ch in range(NC):
+                # grid_iters: the batch window already holds only this
+                # iteration's chunks, so the read offset is STATIC (dynamic
+                # non-minor block indexing costs O(block) in Mosaic).
+                idx = ch if grid_iters else it * NC + ch
+                fw = [fwd_chunk(ps[sub], idx, sub) for sub in range(ns)]
+                alpha, logits = fw[0][0], fw[0][1]
+                for sub in range(1, ns):
+                    alpha = alpha + _roll_rows(fw[sub][0], sub * G)
+                    logits = logits + _roll_rows(fw[sub][1], sub * G)
+                if "render" in ablate:  # profiling: fwd matmuls only
+                    color = jax.nn.sigmoid(logits)
+                    lobj = (jnp.sum(alpha[:, 0:1], 1, keepdims=True)
+                            + jnp.sum(color[0:OG, 0:1], 1, keepdims=True))
+                    gs = [fake_grads(lobj) for _ in range(ns)]
+                else:
+                    lobj, da, dl = render_bwd(idx, w3, alpha, logits,
+                                              z_ref[0, idx])
+                    if "bwdall" in ablate:
+                        gs = [fake_grads(lobj) for _ in range(ns)]
+                    else:
+                        gs = [bwd_chunk(ps[sub], fw[sub][2],
+                                        _roll_rows(da, -sub * G),
+                                        _roll_rows(dl, -sub * G), lobj)
+                              for sub in range(ns)]
+                if gacc is None:
+                    gacc, lacc = gs, lobj
+                else:
+                    gacc = [{n: a[n] + b[n] for n in P_NAMES}
+                            for a, b in zip(gacc, gs)]
+                    lacc = lacc + lobj
+            loss_ref[0] = loss_ref[0] + jnp.where(coli_og == it, lacc, 0.0)
 
             # ---------------- masked AdamW ----------------
             if "adam" in ablate:    # profiling ablation: write grads as p
-                for n in P_NAMES:
-                    store(pout_w, pout_b, n, gg,
-                          view(pout_w, pout_b, n, gg) + 1e-30 * g[n])
+                for sub in range(ns):
+                    for n in P_NAMES:
+                        store(pout_w, pout_b, n, sub,
+                              view(pout_w, pout_b, n, sub)
+                              + 1e-30 * gacc[sub][n])
                 return
             c1v = w3[3 * OG:4 * OG]                            # [OG, 1]
             c2v = w3[4 * OG:5 * OG]
-            rowvecs = {mode: (jnp.dot(oh, c1v, preferred_element_type=f32),
-                              jnp.dot(oh, c2v, preferred_element_type=f32))
-                       for mode, oh in ohs.items()}
-            for n in P_NAMES:
-                c1r, c2r = rowvecs[cls(n)]
-                mf = maskf[gg][n]
-                ggrad = g[n] * mf
-                po = view(pout_w, pout_b, n, gg)
-                mo_ = view(mout_w, mout_b, n, gg)
-                vo = view(vout_w, vout_b, n, gg)
-                mn = B1 * mo_ + (1.0 - B1) * ggrad
-                vn = B2 * vo + (1.0 - B2) * ggrad * ggrad
-                upd = lr * (mn * c1r) / (jnp.sqrt(vn * c2r) + EPS)
-                store(pout_w, pout_b, n, gg, po - (lr * wd * po + upd) * mf)
-                store(mout_w, mout_b, n, gg, jnp.where(updb[gg][n], mn, mo_))
-                store(vout_w, vout_b, n, gg, jnp.where(updb[gg][n], vn, vo))
+            for sub in range(ns):
+                rowvecs = {m: (jnp.dot(ohs[(m, sub)], c1v,
+                                       preferred_element_type=f32),
+                               jnp.dot(ohs[(m, sub)], c2v,
+                                       preferred_element_type=f32))
+                           for m in ("div", "dirs", "alpha", "head")}
+                for n in P_NAMES:
+                    c1r, c2r = rowvecs[cls(n)]
+                    mf = maskf[sub][n]
+                    ggrad = gacc[sub][n] * mf
+                    po = view(pout_w, pout_b, n, sub)
+                    mo_ = view(mout_w, mout_b, n, sub)
+                    vo = view(vout_w, vout_b, n, sub)
+                    mn = B1 * mo_ + (1.0 - B1) * ggrad
+                    vn = B2 * vo + (1.0 - B2) * ggrad * ggrad
+                    upd = lr * (mn * c1r) / (jnp.sqrt(vn * c2r) + EPS)
+                    store(pout_w, pout_b, n, sub,
+                          po - (lr * wd * po + upd) * mf)
+                    store(mout_w, mout_b, n, sub,
+                          jnp.where(updb[sub][n], mn, mo_))
+                    store(vout_w, vout_b, n, sub,
+                          jnp.where(updb[sub][n], vn, vo))
 
-        def iteration(it, _):
-            for gg in range(gpi):
-                group_iteration(it, gg)
-            return 0
+        # Mosaic lowers a DYNAMIC index on a non-minor block dimension as an
+        # O(block)-select over the whole VMEM block (~1.8 ms/frame measured
+        # on the background bank's 200 chunk reads). Two remedies:
+        #   * grid_iters: iterations are a second grid dimension — batch
+        #     windows are per-iteration (static reads, DMA-pipelined by
+        #     Mosaic), states/loss revisit the same block and stay resident;
+        #   * unroll: statically unroll the iteration loop (bigger program).
+        if grid_iters:
+            it = pl.program_id(1)
 
-        jax.lax.fori_loop(0, n_iter, iteration, 0)
+            @pl.when(it == 0)
+            def _():
+                init_state()
+
+            iteration(it)
+        elif unroll:
+            for it in range(n_iter):
+                iteration(it)
+        else:
+            jax.lax.fori_loop(0, n_iter,
+                              lambda it, _: (iteration(it), 0)[1], 0)
 
     return kernel
 
@@ -701,16 +826,24 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
 
 
 def _prepare_batch(batch: dict, scale, active, step, n_iter: int,
-                   n_per: int, G: int):
+                   n_per: int, G: int, ns: int = 1):
     """Sampler output -> kernel operand dict.
 
     ``batch`` carries per-ray origins/dirs (world frame) and per-sample
     depths z; the kernel builds the sample points in-VMEM (o + z*d, both
-    pre-divided here by the per-object PE scale)."""
+    pre-divided here by the per-object PE scale).
+
+    ``ns`` render subgroups per invocation: per-ray operands are laid out
+    with MERGED dense rows sub*G+g (object slot = pair*(ns*G) + sub*G + g,
+    i.e. plain slot order), while the vec3 ray operands (o, d) stay
+    per-subgroup for the xs build."""
     f32 = jnp.float32
     cap = batch["depth"].shape[0]
     S = batch["z"].shape[-1]
     ng = cap // G
+    assert ng % ns == 0, (ng, ns)
+    npair = ng // ns
+    MG = ns * G                      # merged rows per invocation (<= OG)
     n_chunks = -(-n_per // R_TILE)
     RP = n_chunks * R_TILE
     XP = _rup(3 * G, 8)
@@ -732,8 +865,8 @@ def _prepare_batch(batch: dict, scale, active, step, n_iter: int,
     empty = jnp.any((cnts == 0) & active[None, :, None], axis=1)   # [3, NI]
     flag = 1.0 - empty.astype(f32)
     wm = flag[:, None, :] * active_f[None, :, None] / (cnts + 1e-10)
-    wm = wm.reshape(3, ng, G, n_iter).transpose(1, 3, 0, 2)        # ng,NI,3,G
-    wm = jnp.pad(wm, ((0, 0), (0, 0), (0, 0), (0, OG - G)))
+    wm = wm.reshape(3, npair, MG, n_iter).transpose(1, 3, 0, 2)  # np,NI,3,MG
+    wm = jnp.pad(wm, ((0, 0), (0, 0), (0, 0), (0, OG - MG)))
 
     # Adam per-slot factors for iteration i: t = step + i + 1
     t = (step.astype(f32)[:, None]
@@ -742,19 +875,19 @@ def _prepare_batch(batch: dict, scale, active, step, n_iter: int,
     c2 = 1.0 / (1.0 - B2 ** t)
     av = jnp.broadcast_to(active_f[:, None], t.shape)
     adamv = jnp.stack([c1, c2, av])                                 # [3,cap,NI]
-    adamv = adamv.reshape(3, ng, G, n_iter).transpose(1, 3, 0, 2)
-    adamv = jnp.pad(adamv, ((0, 0), (0, 0), (0, 0), (0, OG - G)))
+    adamv = adamv.reshape(3, npair, MG, n_iter).transpose(1, 3, 0, 2)
+    adamv = jnp.pad(adamv, ((0, 0), (0, 0), (0, 0), (0, OG - MG)))
 
-    wmul = jnp.concatenate([wm, adamv], axis=2)                     # ng,NI,6,8
-    wmul = wmul.reshape(ng, n_iter, 6 * OG, 1)
+    wmul = jnp.concatenate([wm, adamv], axis=2)                   # np,NI,6,8
+    wmul = wmul.reshape(npair, n_iter, 6 * OG, 1)
 
     def ray_tiles(a):
-        """[cap, NI*n_per] -> [ng, NI*NC, OG, 128]"""
+        """[cap, NI*n_per] -> [npair, NI*NC, OG, 128] (rows sub*G+g)"""
         a = pad_rays(a)
-        a = a.reshape(ng, G, n_iter, n_chunks, R_TILE)
+        a = a.reshape(npair, MG, n_iter, n_chunks, R_TILE)
         a = a.transpose(0, 2, 3, 1, 4)
-        a = jnp.pad(a, ((0, 0),) * 3 + ((0, OG - G), (0, 0)))
-        return a.reshape(ng, n_iter * n_chunks, OG, R_TILE)
+        a = jnp.pad(a, ((0, 0),) * 3 + ((0, OG - MG), (0, 0)))
+        return a.reshape(npair, n_iter * n_chunks, OG, R_TILE)
 
     def vec3_tiles(a):
         """[cap, NI*n_per, 3] (pre-scaled) -> [ng, NI*NC, XP, 128]"""
@@ -770,17 +903,17 @@ def _prepare_batch(batch: dict, scale, active, step, n_iter: int,
     dirs = batch["dirs"].astype(f32) * inv_s
 
     z = pad_rays(batch["z"])                 # [cap, NI, RP, S]
-    z = z.reshape(ng, G, n_iter, n_chunks, R_TILE, S)
-    z = z.transpose(0, 2, 3, 1, 5, 4)        # ng,NI,NC,G,S,128
-    z = z.reshape(ng, n_iter, n_chunks, G, S * R_TILE)
-    z = jnp.pad(z, ((0, 0),) * 3 + ((0, OG - G), (0, 0)))
-    z = z.reshape(ng, n_iter * n_chunks, OG, S * R_TILE)
+    z = z.reshape(npair, MG, n_iter, n_chunks, R_TILE, S)
+    z = z.transpose(0, 2, 3, 1, 5, 4)        # np,NI,NC,MG,S,128
+    z = z.reshape(npair, n_iter, n_chunks, MG, S * R_TILE)
+    z = jnp.pad(z, ((0, 0),) * 3 + ((0, OG - MG), (0, 0)))
+    z = z.reshape(npair, n_iter * n_chunks, OG, S * R_TILE)
 
     gtc = pad_rays(batch["rgb"])             # [cap, NI, RP, 3]
-    gtc = gtc.reshape(ng, G, n_iter, n_chunks, R_TILE, 3)
-    gtc = gtc.transpose(0, 2, 3, 5, 1, 4)    # ng,NI,NC,3,G,128
-    gtc = jnp.pad(gtc, ((0, 0),) * 4 + ((0, OG - G), (0, 0)))
-    gtc = gtc.reshape(ng, n_iter * n_chunks, 3 * OG, R_TILE)
+    gtc = gtc.reshape(npair, MG, n_iter, n_chunks, R_TILE, 3)
+    gtc = gtc.transpose(0, 2, 3, 5, 1, 4)    # np,NI,NC,3,MG,128
+    gtc = jnp.pad(gtc, ((0, 0),) * 4 + ((0, OG - MG), (0, 0)))
+    gtc = gtc.reshape(npair, n_iter * n_chunks, 3 * OG, R_TILE)
 
     return {
         "o": vec3_tiles(origins), "d": vec3_tiles(dirs), "z": z,
@@ -790,8 +923,33 @@ def _prepare_batch(batch: dict, scale, active, step, n_iter: int,
         "ms": ray_tiles(mask_sem.reshape(cap, -1)),
         "md": ray_tiles(m_do.reshape(cap, -1)),
         "wmul": wmul,
-        "n_chunks": n_chunks, "S": S, "XP": XP, "ng": ng,
+        "n_chunks": n_chunks, "S": S, "XP": XP, "ng": ng, "ns": ns,
     }
+
+
+def pick_ns(G: int, h: int, ng: int, n_per: int) -> int:
+    """Render subgroups per invocation: merge ns = OG/G groups' per-ray
+    rows to full sublane density for the render/loss section (see
+    _make_kernel). Restricted to single-chunk banks (the object bank;
+    multi-chunk G=1 banks keep ns=1 for now) and bounded by a VMEM
+    estimate; env VMAP_NS overrides for experiments."""
+    import os
+    n_chunks = -(-n_per // R_TILE)
+    ns = OG // G if OG % G == 0 else 1
+    if n_chunks > 1:
+        ns = 1
+    while ns > 1 and ng % ns:
+        ns //= 2
+    env_ns = os.environ.get("VMAP_NS")
+    if env_ns is not None:
+        ns = max(g for g in range(1, int(env_ns) + 1)
+                 if ng % g == 0 and g <= (OG // G))
+    _, RW, CW, RB = packed_layout(G, h)
+    state_bytes = 6 * (RW * CW + RB * 128) * 4
+    budget = 100 * 1024 * 1024
+    while ns > 1 and ns * 4 * state_bytes > budget:
+        ns //= 2
+    return ns
 
 
 @flax.struct.dataclass
@@ -845,7 +1003,7 @@ def fused_frame_prepared(pb: PreparedBank, batch: dict, n_iter: int,
                          n_per: int, lr: float, wd: float,
                          color_scaling: float = 5.0,
                          opacity_scaling: float = 10.0,
-                         bf16: bool = True,
+                         bf16: bool | str = True,
                          interpret: bool | None = None,
                          _ablate: frozenset = frozenset()):
     """One frame's full optimisation of a prepared bank in one pallas_call.
@@ -853,6 +1011,9 @@ def fused_frame_prepared(pb: PreparedBank, batch: dict, n_iter: int,
     batch: sampler output ({rgb, depth, state, valid, z, origins, dirs},
     rays iteration-major, ``n_per`` rays per iteration). Returns
     (updated PreparedBank, per-slot per-iteration losses [cap, n_iter]).
+
+    ``bf16`` is the matmul dtype policy (see ``_mm_policy``): False/"f32",
+    True/"bf16", or "bwd_bf16" (f32 forward, bf16 backward matmuls).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -865,67 +1026,80 @@ def fused_frame_prepared(pb: PreparedBank, batch: dict, n_iter: int,
     shapes = group_layout(G, h)
     f32 = jnp.float32
 
-    b = _prepare_batch(batch, pb.scale, pb.active, pb.step, n_iter, n_per, G)
+    loc, RW, CW, RB = packed_layout(G, h)
+    ns = pick_ns(G, h, ng, n_per)
+    b = _prepare_batch(batch, pb.scale, pb.active, pb.step, n_iter, n_per,
+                       G, ns)
     S, n_chunks, XP = b["S"], b["n_chunks"], b["XP"]
     NI, NC = n_iter, n_chunks
+    npair = ng // ns
     T = S * R_TILE
-    loc, RW, CW, RB = packed_layout(G, h)
 
-    # groups per invocation: per-group programs are independent, so packing
-    # several into one invocation gives the VLIW scheduler cross-group ILP
-    # (one group's VPU render overlaps another's matmul chain). Bounded by
-    # a VMEM estimate; env VMAP_GPI overrides for experiments.
     import os
-    env_gpi = os.environ.get("VMAP_GPI")
-    if env_gpi is not None:
-        gpi = max(g for g in range(1, int(env_gpi) + 1) if ng % g == 0)
-    else:
-        batch_bytes = sum(int(np.prod(v.shape[1:])) * 4
-                          for k, v in b.items()
-                          if hasattr(v, "shape"))
-        state_bytes = 6 * (RW * CW + RB * 128) * 4
-        # every pallas window is double-buffered; states appear as both
-        # input and output windows
-        per_group = 2 * (2 * state_bytes + batch_bytes)
-        budget = 100 * 1024 * 1024
-        gpi = max((g for g in range(1, min(ng, 8) + 1)
-                   if ng % g == 0 and g * per_group <= budget), default=1)
-
+    unroll = os.environ.get("VMAP_UNROLL", "0") == "1"
+    # iterations as a second grid dimension for multi-chunk (G=1) banks:
+    # their per-iteration batch slabs are big (NC chunks), so per-iteration
+    # windows both kill the dynamic-read cost and let Mosaic DMA-pipeline
+    # the batch stream. Single-chunk banks keep the in-kernel loop (grid
+    # invocation overhead ~4-6 us would exceed their read cost).
+    grid_iters = (NC > 1 and not unroll
+                  and os.environ.get("VMAP_GRID_ITERS", "1") == "1")
     kernel = _make_kernel(G, h, S, NI, NC, lr, wd,
                           color_scaling, opacity_scaling, bf16, _ablate,
-                          gpi=gpi)
+                          ns=ns, unroll=unroll, grid_iters=grid_iters)
+
+    if grid_iters:
+        grid = (npair, NI)
+        gmap = {"state": lambda g, it: (g, 0, 0),
+                "batch": lambda g, it: (g, it, 0, 0),
+                "loss": lambda g, it: (g, 0, 0)}
+        nb = NC            # batch window: this iteration's chunks only
+        nw = 1
+    else:
+        grid = (npair,)
+        gmap = {"state": lambda g: (g, 0, 0),
+                "batch": lambda g: (g, 0, 0, 0),
+                "loss": lambda g: (g, 0, 0)}
+        nb = NI * NC
+        nw = NI
 
     def pspec(shape):
-        return pl.BlockSpec((gpi,) + shape, lambda g: (g, 0, 0),
+        return pl.BlockSpec((ns,) + shape, gmap["state"],
                             memory_space=pltpu.VMEM)
 
     def bspec(shape):
-        return pl.BlockSpec((gpi, NI * NC) + shape, lambda g: (g, 0, 0, 0),
+        """Per-subgroup ray stream (o, d): leading axis = group."""
+        return pl.BlockSpec((ns, nb) + shape, gmap["batch"],
                             memory_space=pltpu.VMEM)
 
-    wspec = pl.BlockSpec((gpi, NI, 6 * OG, 1), lambda g: (g, 0, 0, 0),
+    def mspec(shape):
+        """Merged per-ray operands: one dense row-block per invocation."""
+        return pl.BlockSpec((1, nb) + shape, gmap["batch"],
+                            memory_space=pltpu.VMEM)
+
+    wspec = pl.BlockSpec((1, nw, 6 * OG, 1), gmap["batch"],
                          memory_space=pltpu.VMEM)
 
     param_specs = [pspec((RW, CW)), pspec((RB, 128))]
     in_specs = (param_specs * 3
-                + [bspec((XP, R_TILE)), bspec((XP, R_TILE)), bspec((OG, T)),
-                   bspec((OG, R_TILE)), bspec((3 * OG, R_TILE)),
-                   bspec((OG, R_TILE)), bspec((OG, R_TILE)),
-                   bspec((OG, R_TILE)), wspec])
+                + [bspec((XP, R_TILE)), bspec((XP, R_TILE)), mspec((OG, T)),
+                   mspec((OG, R_TILE)), mspec((3 * OG, R_TILE)),
+                   mspec((OG, R_TILE)), mspec((OG, R_TILE)),
+                   mspec((OG, R_TILE)), wspec])
     out_specs = (param_specs * 3
-                 + [pl.BlockSpec((gpi, OG, R_TILE), lambda g: (g, 0, 0),
+                 + [pl.BlockSpec((1, OG, R_TILE), gmap["loss"],
                                  memory_space=pltpu.VMEM)])
     state_shapes = [jax.ShapeDtypeStruct((ng, RW, CW), f32),
                     jax.ShapeDtypeStruct((ng, RB, 128), f32)]
-    out_shape = state_shapes * 3 + [jax.ShapeDtypeStruct((ng, OG, R_TILE),
+    out_shape = state_shapes * 3 + [jax.ShapeDtypeStruct((npair, OG, R_TILE),
                                                          f32)]
 
     outs = pl.pallas_call(
-        kernel, grid=(ng // gpi,),
+        kernel, grid=grid,
         in_specs=in_specs, out_specs=out_specs, out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary",) * len(grid),
             # params+moments x6 + a group's full-frame ray blocks exceed the
             # 16 MiB default scoped-vmem budget; v5e has 128 MiB VMEM.
             vmem_limit_bytes=110 * 1024 * 1024),
@@ -937,8 +1111,8 @@ def fused_frame_prepared(pb: PreparedBank, batch: dict, n_iter: int,
         p=tuple(outs[0:2]), m=tuple(outs[2:4]), v=tuple(outs[4:6]),
         step=jnp.where(pb.active, pb.step + n_iter, pb.step),
     )
-    loss_out = outs[6]                                         # [ng, OG, 128]
-    losses = loss_out[:, :G, :n_iter].reshape(cap, n_iter)
+    loss_out = outs[6]                                       # [npair, OG, 128]
+    losses = loss_out[:, :ns * G, :n_iter].reshape(cap, n_iter)
     return new_pb, losses
 
 
@@ -946,7 +1120,7 @@ def fused_bank_frame(bank: BankState, batch: dict, n_iter: int, n_per: int,
                      G: int, lr: float, wd: float,
                      color_scaling: float = 5.0,
                      opacity_scaling: float = 10.0,
-                     bf16: bool = False,
+                     bf16: bool | str = False,
                      interpret: bool | None = None):
     """Flat-bank convenience wrapper: prepare -> fused frame -> unprepare.
 
