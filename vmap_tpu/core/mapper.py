@@ -57,6 +57,14 @@ class Mapper:
         self.capacity = cfg.max_n_models
         self.hidden = cfg.hidden_feature_size
         self.hidden_bg = cfg.hidden_feature_size_bg
+        # physical bank SLOTS round up to the fused kernel's render-merge
+        # granule (8 slots when 128/h object groups merge sublane-dense
+        # per-ray rows); slots beyond `capacity` stay permanently inactive —
+        # the reference's "models full" cap (train.py:143-145) applies to
+        # `capacity`, and masked pad slots only add ~4% kernel work.
+        self.slots = self.capacity
+        if cfg.fused_enabled() and self.hidden <= 64:
+            self.slots = -(-self.capacity // 8) * 8
 
         # multi-device: tpu.mesh_axes (e.g. {"obj": 4, "data": 2}) builds an
         # ("obj", "data") mesh; banks/keyframe tables shard along the object
@@ -67,7 +75,7 @@ class Mapper:
         if cfg.mesh_axes:
             from vmap_tpu.parallel.sharding import mesh_from_axes
             self.mesh = mesh_from_axes(cfg.mesh_axes)
-        if self.mesh is not None and self.capacity % self.mesh.shape["obj"]:
+        if self.mesh is not None and self.slots % self.mesh.shape["obj"]:
             raise ValueError(
                 f"max_n_models={self.capacity} must divide evenly over the "
                 f"obj mesh axis ({self.mesh.shape['obj']})")
@@ -75,7 +83,7 @@ class Mapper:
         key = jax.random.PRNGKey(cfg.seed)
         key, k_obj, k_bg = jax.random.split(key, 3)
         self.key = key
-        self._bank_obj = bank_lib.init_bank(k_obj, self.capacity, self.hidden,
+        self._bank_obj = bank_lib.init_bank(k_obj, self.slots, self.hidden,
                                             default_scale=cfg.obj_scale)
         self._bank_bg = (bank_lib.init_bank(k_bg, 1, self.hidden_bg,
                                             default_scale=cfg.bg_scale)
@@ -93,8 +101,8 @@ class Mapper:
         self.use_fused = cfg.fused_enabled()
         self._fused_sharded = False
         if self.use_fused and self.mesh is not None:
-            G = pick_group(self.capacity, self.hidden)
-            ng = self.capacity // G
+            G = pick_group(self.slots, self.hidden)
+            ng = self.slots // G
             d_obj = self.mesh.shape["obj"]
             if ng % d_obj:
                 print(f"WARNING: fused kernel needs group count {ng} "
@@ -107,7 +115,7 @@ class Mapper:
         if self.use_fused:
             from vmap_tpu.kernels.train_step import prepare_bank
             self._pb_obj = prepare_bank(
-                self._bank_obj, pick_group(self.capacity, self.hidden))
+                self._bank_obj, pick_group(self.slots, self.hidden))
             self._bank_obj = None
             if cfg.do_bg:
                 self._pb_bg = prepare_bank(
@@ -121,7 +129,7 @@ class Mapper:
                                                  None)
 
         self.pool = FramePool(cfg.frame_pool_size, cfg.W, cfg.H)
-        self.obj_table = KeyframeTable(self.capacity, cfg.keyframe_buffer_size)
+        self.obj_table = KeyframeTable(self.slots, cfg.keyframe_buffer_size)
         self.bg_table = KeyframeTable(1, cfg.keyframe_buffer_size)
 
         if self.mesh is not None:
@@ -135,7 +143,7 @@ class Mapper:
                 self.mesh, (self.pool.packed, self.pool.twc))
 
         self.registry: dict[int, ObjectRecord] = {}   # obj_id -> record
-        self._slot_objid = np.full(self.capacity, -(10 ** 6), np.int32)
+        self._slot_objid = np.full(self.slots, -(10 ** 6), np.int32)
         self._next_slot = 0
         self.frames_ingested = 0
         self.models_full_events = 0

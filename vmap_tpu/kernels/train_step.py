@@ -1042,8 +1042,9 @@ def fused_frame_prepared(pb: PreparedBank, batch: dict, n_iter: int,
     # windows both kill the dynamic-read cost and let Mosaic DMA-pipeline
     # the batch stream. Single-chunk banks keep the in-kernel loop (grid
     # invocation overhead ~4-6 us would exceed their read cost).
-    grid_iters = (NC > 1 and not unroll
-                  and os.environ.get("VMAP_GRID_ITERS", "1") == "1")
+    env_gi = os.environ.get("VMAP_GRID_ITERS", "1")
+    grid_iters = (not unroll
+                  and (env_gi == "force" or (NC > 1 and env_gi == "1")))
     kernel = _make_kernel(G, h, S, NI, NC, lr, wd,
                           color_scaling, opacity_scaling, bf16, _ablate,
                           ns=ns, unroll=unroll, grid_iters=grid_iters)
