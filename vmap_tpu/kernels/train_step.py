@@ -311,7 +311,9 @@ def _mm_policy(bf16) -> str:
 def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
                  lr: float, wd: float, cs: float, osc: float, bf16,
                  ablate: frozenset = frozenset(), ns: int = 1,
-                 unroll: bool = False, grid_iters: bool = False):
+                 unroll: bool = False, grid_iters: bool = False,
+                 lanemix: str = "mxu", adam_rsqrt: bool = False,
+                 sched: str = "phase"):
     """Kernel body for one invocation: every iteration of the frame for
     ``ns`` object groups whose render sections are MERGED.
 
@@ -474,28 +476,52 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
             maskf.append({n: jnp.where(updb[sub][n], 1.0, 0.0)
                           for n in P_NAMES})
 
-        # Lane-mixing constants for the full-width render/loss section:
-        # per-ray reductions over the S sample tiles and their broadcasts
-        # become small matmuls (MXU time that hides under the VPU work)
-        # instead of S-long chains of [OG, 128] tile ops.
-        ri_t = jax.lax.broadcasted_iota(jnp.int32, (T, R_TILE), 0)
-        ci_t = jax.lax.broadcasted_iota(jnp.int32, (T, R_TILE), 1)
-        msum = (ri_t % R_TILE == ci_t).astype(f32)          # [T, 128]
-        ri_b = jax.lax.broadcasted_iota(jnp.int32, (R_TILE, T), 0)
-        ci_b = jax.lax.broadcasted_iota(jnp.int32, (R_TILE, T), 1)
-        mbc = (ri_b == ci_b % R_TILE).astype(f32)           # [128, T]
-        r3i = jax.lax.broadcasted_iota(jnp.int32, (3 * OG, OG), 0)
-        r3j = jax.lax.broadcasted_iota(jnp.int32, (3 * OG, OG), 1)
-        rep3 = (r3i % OG == r3j).astype(f32)                # [3OG, OG]
-        s3i = jax.lax.broadcasted_iota(jnp.int32, (OG, 3 * OG), 0)
-        s3j = jax.lax.broadcasted_iota(jnp.int32, (OG, 3 * OG), 1)
-        sum3 = (s3j % OG == s3i).astype(f32)                # [OG, 3OG]
+        # Per-ray reductions over the S sample tiles, their broadcasts, and
+        # the channel triplication/summing of the colour rows. Two
+        # implementations, selected by ``lanemix``:
+        #   "mxu": 0/1 lane-mixing matmuls (the round-2 full-width rewrite);
+        #   "vpu": strided tile adds/concats — S-1 vector adds per
+        #          reduction instead of a [rows, T] x [T, 128] dot.
+        if lanemix == "mxu":
+            ri_t = jax.lax.broadcasted_iota(jnp.int32, (T, R_TILE), 0)
+            ci_t = jax.lax.broadcasted_iota(jnp.int32, (T, R_TILE), 1)
+            msum = (ri_t % R_TILE == ci_t).astype(f32)      # [T, 128]
+            ri_b = jax.lax.broadcasted_iota(jnp.int32, (R_TILE, T), 0)
+            ci_b = jax.lax.broadcasted_iota(jnp.int32, (R_TILE, T), 1)
+            mbc = (ri_b == ci_b % R_TILE).astype(f32)       # [128, T]
+            r3i = jax.lax.broadcasted_iota(jnp.int32, (3 * OG, OG), 0)
+            r3j = jax.lax.broadcasted_iota(jnp.int32, (3 * OG, OG), 1)
+            rep3m = (r3i % OG == r3j).astype(f32)           # [3OG, OG]
+            s3i = jax.lax.broadcasted_iota(jnp.int32, (OG, 3 * OG), 0)
+            s3j = jax.lax.broadcasted_iota(jnp.int32, (OG, 3 * OG), 1)
+            sum3m = (s3j % OG == s3i).astype(f32)           # [OG, 3OG]
 
-        def lane_sum(x):     # [rows, T] -> [rows, 128] (sum over s tiles)
-            return jnp.dot(x, msum, preferred_element_type=f32)
+            def lane_sum(x):   # [rows, T] -> [rows, 128] (sum over s tiles)
+                return jnp.dot(x, msum, preferred_element_type=f32)
 
-        def bcast(x):        # [rows, 128] -> [rows, T]
-            return jnp.dot(x, mbc, preferred_element_type=f32)
+            def bcast(x):      # [rows, 128] -> [rows, T]
+                return jnp.dot(x, mbc, preferred_element_type=f32)
+
+            def rep3(x):       # [OG, L] -> [3OG, L] channel triplication
+                return jnp.dot(rep3m, x, preferred_element_type=f32)
+
+            def sum3(x):       # [3OG, L] -> [OG, L] channel sum
+                return jnp.dot(sum3m, x, preferred_element_type=f32)
+        else:
+            def lane_sum(x):
+                acc = tile(x, 0)
+                for s in range(1, S):
+                    acc = acc + tile(x, s)
+                return acc
+
+            def bcast(x):
+                return jnp.concatenate([x] * S, 1)
+
+            def rep3(x):
+                return jnp.concatenate([x, x, x], 0)
+
+            def sum3(x):
+                return x[0:OG] + x[OG:2 * OG] + x[2 * OG:3 * OG]
 
         def mm(w, x):
             return jnp.dot(w.astype(cdt), x, preferred_element_type=f32)
@@ -598,7 +624,7 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
             RD_b = bcast(RD)
             var = lane_sum(terms * (z - RD_b) ** 2)
             info = 1.0 / (jnp.sqrt(var) + 1e-4)
-            terms3 = jnp.dot(rep3, terms, preferred_element_type=f32)
+            terms3 = rep3(terms)
             RC3 = lane_sum(terms3 * color)                     # [3OG, 128]
 
             dep = dep_ref[0, idx]
@@ -611,10 +637,9 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
             res_d = RD - dep
             res_o = RO - mo
             res_c3 = RC3 - gtc                                 # [3OG, 128]
-            mo3 = jnp.dot(rep3, mo, preferred_element_type=f32)
+            mo3 = rep3(mo)
             ld = jnp.sum(jnp.abs(res_d) * md * info, 1, keepdims=True) * w_d
-            lc_obj = jnp.dot(sum3, jnp.abs(res_c3) * mo3,
-                             preferred_element_type=f32)       # [OG, 128]
+            lc_obj = sum3(jnp.abs(res_c3) * mo3)           # [OG, 128]
             lc = jnp.sum(lc_obj, 1, keepdims=True) * w_c
             lo = jnp.sum(jnp.abs(res_o) * msm, 1, keepdims=True) * w_o
             lobj = ld + cs * lc + osc * lo                     # [OG, 1]
@@ -624,13 +649,12 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
                 return lobj, None, None
             dRD = jnp.sign(res_d) * md * info * w_d            # [OG, 128]
             dRO = jnp.sign(res_o) * msm * (w_o * osc)
-            w_c3 = jnp.dot(rep3, w_c * cs, preferred_element_type=f32)
+            w_c3 = rep3(w_c * cs)
             dRC3 = jnp.sign(res_c3) * mo3 * w_c3               # [3OG, 128]
             dRC3_b = bcast(dRC3)                               # [3OG, T]
 
             dterm = (bcast(dRD) * z + bcast(dRO)
-                     + jnp.dot(sum3, dRC3_b * color,
-                               preferred_element_type=f32))    # [OG, T]
+                     + sum3(dRC3_b * color))                   # [OG, T]
             # docc_s = dterm_s*cp_s - (sum_{k>s} dterm_k*term_k)/free_s
             tt = dterm * terms
             suf = jnp.zeros((OG, R_TILE), f32)
@@ -727,6 +751,46 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
             w3 = wmul_ref[0, 0] if grid_iters else wmul_ref[0, it]
             ps = [{n: view(pout_w, pout_b, n, sub) for n in P_NAMES}
                   for sub in range(ns)]
+            def adam_sub(sub, g):
+                """Masked AdamW for one subgroup from its grads dict."""
+                c1v = w3[3 * OG:4 * OG]                        # [OG, 1]
+                c2v = w3[4 * OG:5 * OG]
+                rowvecs = {m: (jnp.dot(ohs[(m, sub)], c1v,
+                                       preferred_element_type=f32),
+                               jnp.dot(ohs[(m, sub)], c2v,
+                                       preferred_element_type=f32))
+                           for m in ("div", "dirs", "alpha", "head")}
+                for n in P_NAMES:
+                    c1r, c2r = rowvecs[cls(n)]
+                    mf = maskf[sub][n]
+                    ggrad = g[n] * mf
+                    po = view(pout_w, pout_b, n, sub)
+                    mo_ = view(mout_w, mout_b, n, sub)
+                    vo = view(vout_w, vout_b, n, sub)
+                    mn = B1 * mo_ + (1.0 - B1) * ggrad
+                    vn = B2 * vo + (1.0 - B2) * ggrad * ggrad
+                    if adam_rsqrt:
+                        # 1/(sqrt(x)+EPS) -> rsqrt(max(x, EPS^2)): equal to
+                        # within 2x only where vhat < 1e-16 (dead params);
+                        # saves the serial f32 sqrt+divide chain per tensor.
+                        upd = (lr * (mn * c1r)
+                               * jax.lax.rsqrt(jnp.maximum(vn * c2r,
+                                                           EPS * EPS)))
+                    else:
+                        upd = lr * (mn * c1r) / (jnp.sqrt(vn * c2r) + EPS)
+                    store(pout_w, pout_b, n, sub,
+                          po - (lr * wd * po + upd) * mf)
+                    store(mout_w, mout_b, n, sub,
+                          jnp.where(updb[sub][n], mn, mo_))
+                    store(vout_w, vout_b, n, sub,
+                          jnp.where(updb[sub][n], vn, vo))
+
+            # sched "alt" (single-chunk banks): emit each subgroup's VPU
+            # Adam right after its backward, so it sits adjacent to the
+            # NEXT subgroup's MXU matmul chain in the instruction stream
+            # (independent work the VLIW scheduler can overlap).
+            alt = (sched == "alt" and NC == 1
+                   and not ({"render", "bwdall", "adam"} & ablate))
             gacc = None
             lacc = None
             for ch in range(NC):
@@ -749,6 +813,15 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
                                               z_ref[0, idx])
                     if "bwdall" in ablate:
                         gs = [fake_grads(lobj) for _ in range(ns)]
+                    elif alt:
+                        loss_ref[0] = (loss_ref[0]
+                                       + jnp.where(coli_og == it, lobj, 0.0))
+                        for sub in range(ns):
+                            g = bwd_chunk(ps[sub], fw[sub][2],
+                                          _roll_rows(da, -sub * G),
+                                          _roll_rows(dl, -sub * G), lobj)
+                            adam_sub(sub, g)
+                        return
                     else:
                         gs = [bwd_chunk(ps[sub], fw[sub][2],
                                         _roll_rows(da, -sub * G),
@@ -770,30 +843,8 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
                               view(pout_w, pout_b, n, sub)
                               + 1e-30 * gacc[sub][n])
                 return
-            c1v = w3[3 * OG:4 * OG]                            # [OG, 1]
-            c2v = w3[4 * OG:5 * OG]
             for sub in range(ns):
-                rowvecs = {m: (jnp.dot(ohs[(m, sub)], c1v,
-                                       preferred_element_type=f32),
-                               jnp.dot(ohs[(m, sub)], c2v,
-                                       preferred_element_type=f32))
-                           for m in ("div", "dirs", "alpha", "head")}
-                for n in P_NAMES:
-                    c1r, c2r = rowvecs[cls(n)]
-                    mf = maskf[sub][n]
-                    ggrad = gacc[sub][n] * mf
-                    po = view(pout_w, pout_b, n, sub)
-                    mo_ = view(mout_w, mout_b, n, sub)
-                    vo = view(vout_w, vout_b, n, sub)
-                    mn = B1 * mo_ + (1.0 - B1) * ggrad
-                    vn = B2 * vo + (1.0 - B2) * ggrad * ggrad
-                    upd = lr * (mn * c1r) / (jnp.sqrt(vn * c2r) + EPS)
-                    store(pout_w, pout_b, n, sub,
-                          po - (lr * wd * po + upd) * mf)
-                    store(mout_w, mout_b, n, sub,
-                          jnp.where(updb[sub][n], mn, mo_))
-                    store(vout_w, vout_b, n, sub,
-                          jnp.where(updb[sub][n], vn, vo))
+                adam_sub(sub, gacc[sub])
 
         # Mosaic lowers a DYNAMIC index on a non-minor block dimension as an
         # O(block)-select over the whole VMEM block (~1.8 ms/frame measured
@@ -1047,7 +1098,11 @@ def fused_frame_prepared(pb: PreparedBank, batch: dict, n_iter: int,
                   and (env_gi == "force" or (NC > 1 and env_gi == "1")))
     kernel = _make_kernel(G, h, S, NI, NC, lr, wd,
                           color_scaling, opacity_scaling, bf16, _ablate,
-                          ns=ns, unroll=unroll, grid_iters=grid_iters)
+                          ns=ns, unroll=unroll, grid_iters=grid_iters,
+                          lanemix=os.environ.get("VMAP_LANEMIX", "mxu"),
+                          adam_rsqrt=os.environ.get("VMAP_ADAM_RSQRT",
+                                                    "0") == "1",
+                          sched=os.environ.get("VMAP_SCHED", "phase"))
 
     if grid_iters:
         grid = (npair, NI)
