@@ -1099,10 +1099,10 @@ def fused_frame_prepared(pb: PreparedBank, batch: dict, n_iter: int,
     kernel = _make_kernel(G, h, S, NI, NC, lr, wd,
                           color_scaling, opacity_scaling, bf16, _ablate,
                           ns=ns, unroll=unroll, grid_iters=grid_iters,
-                          lanemix=os.environ.get("VMAP_LANEMIX", "mxu"),
+                          lanemix=os.environ.get("VMAP_LANEMIX", "vpu"),
                           adam_rsqrt=os.environ.get("VMAP_ADAM_RSQRT",
-                                                    "0") == "1",
-                          sched=os.environ.get("VMAP_SCHED", "phase"))
+                                                    "1") == "1",
+                          sched=os.environ.get("VMAP_SCHED", "alt"))
 
     if grid_iters:
         grid = (npair, NI)
