@@ -73,8 +73,12 @@ def ref_frame(bank, batch, n_iter, n_per):
     (4, 32, 8, 120, 3, 10, 7),    # object-bank shape (1 ray chunk)
     (1, 16, 2, 200, 2, 5, 2),     # background-like (2 ray chunks)
     (1, 256, 1, 96, 2, 4, 1),     # iMAP single-field shape (hidden 256)
+    (1, 16, 1, 200, 2, 5, 1),     # wide ray tile (VMAP_RT=256, 1 chunk)
 ])
-def test_fused_matches_xla(G, h, cap, n_per, n_iter, S, n_active):
+def test_fused_matches_xla(G, h, cap, n_per, n_iter, S, n_active,
+                           monkeypatch):
+    if cap == 1 and h == 16:
+        monkeypatch.setenv("VMAP_RT", "256")
     key = jax.random.PRNGKey(0)
     bank = init_bank(key, cap, hidden=h)
     for s in range(n_active):

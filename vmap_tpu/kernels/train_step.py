@@ -313,7 +313,7 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
                  ablate: frozenset = frozenset(), ns: int = 1,
                  unroll: bool = False, grid_iters: bool = False,
                  lanemix: str = "mxu", adam_rsqrt: bool = False,
-                 sched: str = "phase"):
+                 sched: str = "phase", rt: int = R_TILE):
     """Kernel body for one invocation: every iteration of the frame for
     ``ns`` object groups whose render sections are MERGED.
 
@@ -355,7 +355,7 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
     NC = n_chunks
     shapes = group_layout(G, h)
     XP = _rup(3 * G, 8)
-    T = S * R_TILE
+    T = S * rt
 
     def blockmask(name: str):
         r, c = shapes[name]
@@ -420,7 +420,7 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
         masks = {n: blockmask(n) for n in P_NAMES}
         rowi = jax.lax.broadcasted_iota(jnp.int32, (DG, 1), 0)
         xsrow = (rowi % DPG) >= 21
-        coli_og = jax.lax.broadcasted_iota(jnp.int32, (OG, 128), 1)
+        coli_og = jax.lax.broadcasted_iota(jnp.int32, (OG, rt), 1)
 
         def _roll_rows(x, k: int):
             """Sublane roll by k rows (merged-row <-> subgroup-row shift)."""
@@ -483,12 +483,12 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
         #   "vpu": strided tile adds/concats — S-1 vector adds per
         #          reduction instead of a [rows, T] x [T, 128] dot.
         if lanemix == "mxu":
-            ri_t = jax.lax.broadcasted_iota(jnp.int32, (T, R_TILE), 0)
-            ci_t = jax.lax.broadcasted_iota(jnp.int32, (T, R_TILE), 1)
-            msum = (ri_t % R_TILE == ci_t).astype(f32)      # [T, 128]
-            ri_b = jax.lax.broadcasted_iota(jnp.int32, (R_TILE, T), 0)
-            ci_b = jax.lax.broadcasted_iota(jnp.int32, (R_TILE, T), 1)
-            mbc = (ri_b == ci_b % R_TILE).astype(f32)       # [128, T]
+            ri_t = jax.lax.broadcasted_iota(jnp.int32, (T, rt), 0)
+            ci_t = jax.lax.broadcasted_iota(jnp.int32, (T, rt), 1)
+            msum = (ri_t % rt == ci_t).astype(f32)          # [T, rt]
+            ri_b = jax.lax.broadcasted_iota(jnp.int32, (rt, T), 0)
+            ci_b = jax.lax.broadcasted_iota(jnp.int32, (rt, T), 1)
+            mbc = (ri_b == ci_b % rt).astype(f32)           # [rt, T]
             r3i = jax.lax.broadcasted_iota(jnp.int32, (3 * OG, OG), 0)
             r3j = jax.lax.broadcasted_iota(jnp.int32, (3 * OG, OG), 1)
             rep3m = (r3i % OG == r3j).astype(f32)           # [3OG, OG]
@@ -539,7 +539,7 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
             return a.astype(f32) > 0
 
         def tile(a, s):
-            return a[:, s * R_TILE:(s + 1) * R_TILE]
+            return a[:, s * rt:(s + 1) * rt]
 
         def fwd_chunk(p, idx, sub):
             """Forward for one 128-ray chunk of subgroup ``sub``. Returns
@@ -612,7 +612,7 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
             # some compilation paths; clamp so the cumprod backward's
             # division stays finite (the reference's intended epsilon).
             free = jnp.maximum(1.0 - occ + 1e-10, 1e-10)
-            cp = jnp.ones((OG, R_TILE), f32)
+            cp = jnp.ones((OG, rt), f32)
             cps = []
             for s in range(S):
                 cps.append(cp)
@@ -657,7 +657,7 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
                      + sum3(dRC3_b * color))                   # [OG, T]
             # docc_s = dterm_s*cp_s - (sum_{k>s} dterm_k*term_k)/free_s
             tt = dterm * terms
-            suf = jnp.zeros((OG, R_TILE), f32)
+            suf = jnp.zeros((OG, rt), f32)
             sufs = [None] * S
             for s in range(S - 1, -1, -1):
                 sufs[s] = suf
@@ -877,7 +877,7 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
 
 
 def _prepare_batch(batch: dict, scale, active, step, n_iter: int,
-                   n_per: int, G: int, ns: int = 1):
+                   n_per: int, G: int, ns: int = 1, rt: int = R_TILE):
     """Sampler output -> kernel operand dict.
 
     ``batch`` carries per-ray origins/dirs (world frame) and per-sample
@@ -895,8 +895,8 @@ def _prepare_batch(batch: dict, scale, active, step, n_iter: int,
     assert ng % ns == 0, (ng, ns)
     npair = ng // ns
     MG = ns * G                      # merged rows per invocation (<= OG)
-    n_chunks = -(-n_per // R_TILE)
-    RP = n_chunks * R_TILE
+    n_chunks = -(-n_per // rt)
+    RP = n_chunks * rt
     XP = _rup(3 * G, 8)
     active_f = active.astype(f32)
 
@@ -935,36 +935,36 @@ def _prepare_batch(batch: dict, scale, active, step, n_iter: int,
     def ray_tiles(a):
         """[cap, NI*n_per] -> [npair, NI*NC, OG, 128] (rows sub*G+g)"""
         a = pad_rays(a)
-        a = a.reshape(npair, MG, n_iter, n_chunks, R_TILE)
+        a = a.reshape(npair, MG, n_iter, n_chunks, rt)
         a = a.transpose(0, 2, 3, 1, 4)
         a = jnp.pad(a, ((0, 0),) * 3 + ((0, OG - MG), (0, 0)))
-        return a.reshape(npair, n_iter * n_chunks, OG, R_TILE)
+        return a.reshape(npair, n_iter * n_chunks, OG, rt)
 
     def vec3_tiles(a):
         """[cap, NI*n_per, 3] (pre-scaled) -> [ng, NI*NC, XP, 128]"""
         a = pad_rays(a)                          # [cap, NI, RP, 3]
-        a = a.reshape(ng, G, n_iter, n_chunks, R_TILE, 3)
-        a = a.transpose(0, 2, 3, 1, 5, 4)        # ng,NI,NC,G,3,128
-        a = a.reshape(ng, n_iter, n_chunks, 3 * G, R_TILE)
+        a = a.reshape(ng, G, n_iter, n_chunks, rt, 3)
+        a = a.transpose(0, 2, 3, 1, 5, 4)        # ng,NI,NC,G,3,rt
+        a = a.reshape(ng, n_iter, n_chunks, 3 * G, rt)
         a = jnp.pad(a, ((0, 0),) * 3 + ((0, XP - 3 * G), (0, 0)))
-        return a.reshape(ng, n_iter * n_chunks, XP, R_TILE)
+        return a.reshape(ng, n_iter * n_chunks, XP, rt)
 
     inv_s = (1.0 / scale)[:, None, None].astype(f32)
     origins = batch["origins"].astype(f32) * inv_s
     dirs = batch["dirs"].astype(f32) * inv_s
 
     z = pad_rays(batch["z"])                 # [cap, NI, RP, S]
-    z = z.reshape(npair, MG, n_iter, n_chunks, R_TILE, S)
-    z = z.transpose(0, 2, 3, 1, 5, 4)        # np,NI,NC,MG,S,128
-    z = z.reshape(npair, n_iter, n_chunks, MG, S * R_TILE)
+    z = z.reshape(npair, MG, n_iter, n_chunks, rt, S)
+    z = z.transpose(0, 2, 3, 1, 5, 4)        # np,NI,NC,MG,S,rt
+    z = z.reshape(npair, n_iter, n_chunks, MG, S * rt)
     z = jnp.pad(z, ((0, 0),) * 3 + ((0, OG - MG), (0, 0)))
-    z = z.reshape(npair, n_iter * n_chunks, OG, S * R_TILE)
+    z = z.reshape(npair, n_iter * n_chunks, OG, S * rt)
 
     gtc = pad_rays(batch["rgb"])             # [cap, NI, RP, 3]
-    gtc = gtc.reshape(npair, MG, n_iter, n_chunks, R_TILE, 3)
-    gtc = gtc.transpose(0, 2, 3, 5, 1, 4)    # np,NI,NC,3,MG,128
+    gtc = gtc.reshape(npair, MG, n_iter, n_chunks, rt, 3)
+    gtc = gtc.transpose(0, 2, 3, 5, 1, 4)    # np,NI,NC,3,MG,rt
     gtc = jnp.pad(gtc, ((0, 0),) * 4 + ((0, OG - MG), (0, 0)))
-    gtc = gtc.reshape(npair, n_iter * n_chunks, 3 * OG, R_TILE)
+    gtc = gtc.reshape(npair, n_iter * n_chunks, 3 * OG, rt)
 
     return {
         "o": vec3_tiles(origins), "d": vec3_tiles(dirs), "z": z,
@@ -978,14 +978,29 @@ def _prepare_batch(batch: dict, scale, active, step, n_iter: int,
     }
 
 
-def pick_ns(G: int, h: int, ng: int, n_per: int) -> int:
+def pick_rt(G: int, h: int, ng: int, n_per: int, S: int) -> int:
+    """Ray-tile (lane) width per chunk. Default 128 everywhere: widening
+    the background bank's tile (1200 rays/iter -> rt 640/1280, fewer
+    chunks per iteration) was measured NEUTRAL-to-worse on v5e (3.55 ms at
+    rt=128 vs 3.80/3.66 at 640/1280, scripts/bench_bg_ab.py) — the bg
+    kernel's gap to its matmul floor is NOT per-chunk glue. The knob stays
+    for experiments: VMAP_RT overrides (exactness-tested at rt=256)."""
+    import os
+    env = os.environ.get("VMAP_RT")
+    if env is not None:
+        return int(env)
+    return R_TILE
+
+
+def pick_ns(G: int, h: int, ng: int, n_per: int,
+            rt: int = R_TILE) -> int:
     """Render subgroups per invocation: merge ns = OG/G groups' per-ray
     rows to full sublane density for the render/loss section (see
     _make_kernel). Restricted to single-chunk banks (the object bank;
     multi-chunk G=1 banks keep ns=1 for now) and bounded by a VMEM
     estimate; env VMAP_NS overrides for experiments."""
     import os
-    n_chunks = -(-n_per // R_TILE)
+    n_chunks = -(-n_per // rt)
     ns = OG // G if OG % G == 0 else 1
     if n_chunks > 1:
         ns = 1
@@ -1072,19 +1087,20 @@ def fused_frame_prepared(pb: PreparedBank, batch: dict, n_iter: int,
     cap = pb.capacity
     h = pb.spec.hidden
     assert cap % G == 0, (cap, G)
-    assert n_iter <= R_TILE, n_iter
+    assert n_iter <= R_TILE, n_iter   # loss columns (rt >= R_TILE)
     ng = cap // G
     shapes = group_layout(G, h)
     f32 = jnp.float32
 
     loc, RW, CW, RB = packed_layout(G, h)
-    ns = pick_ns(G, h, ng, n_per)
+    rt = pick_rt(G, h, ng, n_per, batch["z"].shape[-1])
+    ns = pick_ns(G, h, ng, n_per, rt)
     b = _prepare_batch(batch, pb.scale, pb.active, pb.step, n_iter, n_per,
-                       G, ns)
+                       G, ns, rt)
     S, n_chunks, XP = b["S"], b["n_chunks"], b["XP"]
     NI, NC = n_iter, n_chunks
     npair = ng // ns
-    T = S * R_TILE
+    T = S * rt
 
     import os
     unroll = os.environ.get("VMAP_UNROLL", "0") == "1"
@@ -1095,14 +1111,16 @@ def fused_frame_prepared(pb: PreparedBank, batch: dict, n_iter: int,
     # invocation overhead ~4-6 us would exceed their read cost).
     env_gi = os.environ.get("VMAP_GRID_ITERS", "1")
     grid_iters = (not unroll
-                  and (env_gi == "force" or (NC > 1 and env_gi == "1")))
+                  and (env_gi == "force"
+                       or ((NC > 1 or rt > R_TILE) and env_gi == "1")))
     kernel = _make_kernel(G, h, S, NI, NC, lr, wd,
                           color_scaling, opacity_scaling, bf16, _ablate,
                           ns=ns, unroll=unroll, grid_iters=grid_iters,
                           lanemix=os.environ.get("VMAP_LANEMIX", "vpu"),
                           adam_rsqrt=os.environ.get("VMAP_ADAM_RSQRT",
                                                     "1") == "1",
-                          sched=os.environ.get("VMAP_SCHED", "alt"))
+                          sched=os.environ.get("VMAP_SCHED", "alt"),
+                          rt=rt)
 
     if grid_iters:
         grid = (npair, NI)
@@ -1138,16 +1156,16 @@ def fused_frame_prepared(pb: PreparedBank, batch: dict, n_iter: int,
 
     param_specs = [pspec((RW, CW)), pspec((RB, 128))]
     in_specs = (param_specs * 3
-                + [bspec((XP, R_TILE)), bspec((XP, R_TILE)), mspec((OG, T)),
-                   mspec((OG, R_TILE)), mspec((3 * OG, R_TILE)),
-                   mspec((OG, R_TILE)), mspec((OG, R_TILE)),
-                   mspec((OG, R_TILE)), wspec])
+                + [bspec((XP, rt)), bspec((XP, rt)), mspec((OG, T)),
+                   mspec((OG, rt)), mspec((3 * OG, rt)),
+                   mspec((OG, rt)), mspec((OG, rt)),
+                   mspec((OG, rt)), wspec])
     out_specs = (param_specs * 3
-                 + [pl.BlockSpec((1, OG, R_TILE), gmap["loss"],
+                 + [pl.BlockSpec((1, OG, rt), gmap["loss"],
                                  memory_space=pltpu.VMEM)])
     state_shapes = [jax.ShapeDtypeStruct((ng, RW, CW), f32),
                     jax.ShapeDtypeStruct((ng, RB, 128), f32)]
-    out_shape = state_shapes * 3 + [jax.ShapeDtypeStruct((npair, OG, R_TILE),
+    out_shape = state_shapes * 3 + [jax.ShapeDtypeStruct((npair, OG, rt),
                                                          f32)]
 
     outs = pl.pallas_call(
