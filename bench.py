@@ -37,7 +37,9 @@ import numpy as np
 
 
 def build_workload(compute_dtype: str = "float32", fused: bool = True,
-                   px_block: int = int(os.environ.get("BENCH_PX_BLOCK", "1"))):
+                   px_block: int = int(os.environ.get("BENCH_PX_BLOCK", "1")),
+                   px_block_bg: int = int(os.environ.get("BENCH_PX_BLOCK_BG",
+                                                         "1"))):
     import jax
     import jax.numpy as jnp
     from vmap_tpu.core.bank import activate_slot, init_bank
@@ -59,7 +61,7 @@ def build_workload(compute_dtype: str = "float32", fused: bool = True,
         min_depth=0.0, surface_eps=0.1, stop_eps=0.05,
         lr=1e-3, wd=0.013, compute_dtype=compute_dtype,
         fx=600.0, fy=600.0, cx=599.5, cy=339.5,
-        use_fused_frame=fused, px_block=px_block,
+        use_fused_frame=fused, px_block=px_block, px_block_bg=px_block_bg,
     )
 
     key = jax.random.PRNGKey(0)

@@ -33,6 +33,7 @@ def main(argv=None):
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16", "bwd_bf16"])
     p.add_argument("--px_block", type=int, default=1)
+    p.add_argument("--px_block_bg", type=int, default=1)
     p.add_argument("--bg_rays", type=int, default=80)
     p.add_argument("--bg_hidden", type=int, default=32)
     p.add_argument("--fused", default="auto")
@@ -47,7 +48,7 @@ def main(argv=None):
     from vmap_tpu.config import Config
     from vmap_tpu.core.mapper import FrameSample, Mapper
     from vmap_tpu.data.synthetic import SyntheticScene
-    from vmap_tpu.eval.mesh_eval import eval_object
+    from vmap_tpu.eval.mesh_eval import eval_object, observed_points_mask
 
     fx = args.width * 0.75
     scene = SyntheticScene(width=args.width, height=args.height, fx=fx, fy=fx)
@@ -62,7 +63,8 @@ def main(argv=None):
         cx=(args.width - 1) / 2, cy=(args.height - 1) / 2,
         frame_pool_size=args.frames + 2, live_voxel_size=0.02,
         grid_dim=args.grid, seed=0, compute_dtype=args.dtype,
-        px_block=args.px_block, fused_train_step=fused)
+        px_block=args.px_block, px_block_bg=args.px_block_bg,
+        fused_train_step=fused)
 
     m = Mapper(cfg)
     for fid in list(range(args.frames)) * args.passes:
@@ -75,12 +77,28 @@ def main(argv=None):
     gt = scene.gt_meshes()
     results = {}
     names = {0: "background", scene.SPHERE_ID: "sphere", scene.BOX_ID: "box"}
+
+    # Background completion is only meaningful over OBSERVED floor: the
+    # orbit views a fraction of the analytic 8x8 m GT patch, and GT points
+    # the trajectory never saw would dominate completion (the reference's
+    # full-GT protocol assumes Replica's full room coverage).
+    frames = [scene.render(fid, n_frames=args.frames)
+              for fid in range(args.frames)]
+    poses = np.stack([f[3] for f in frames])
+    depths = np.stack([f[1] for f in frames])
+
+    def bg_filter(pts):
+        return observed_points_mask(pts, poses, depths, fx, fx,
+                                    (args.width - 1) / 2,
+                                    (args.height - 1) / 2, tol=0.05)
+
     for oid, gt_mesh in gt.items():
         rec = m.mesh_object(oid, grid_dim=args.grid)
         if rec is None:
             print(f"{names[oid]}: meshing failed")
             continue
-        met = eval_object(rec, gt_mesh, n=8000)
+        met = eval_object(rec, gt_mesh, n=8000,
+                          gt_filter=bg_filter if oid == 0 else None)
         if met is None:
             print(f"{names[oid]}: empty after GT crop")
             continue

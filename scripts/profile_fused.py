@@ -82,7 +82,7 @@ def main():
         bb = TS._prepare_batch(batch_bg, pb_bg.scale, pb_bg.active,
                                pb_bg.step, st.n_iter, n_per_bg, pb_bg.G,
                                ns_bg)
-        return b["o"], bb["o"]
+        return b["od"], bb["od"]
 
     ms, _ = timed(bprep, batch, batch_bg)
     res["B_batch_prep_ms"] = round(ms, 2)

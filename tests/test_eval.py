@@ -103,3 +103,35 @@ def test_compose_scene_and_ids(tmp_path):
     assert object_ids_in_dir(str(tmp_path)) == [1, 2]
     scene = compose_scene_mesh(str(tmp_path))
     assert len(scene.faces) == len(a.faces) + len(b.faces)
+
+
+def test_observed_points_mask_frustum_depth_and_occlusion():
+    from vmap_tpu.eval.mesh_eval import observed_points_mask
+    # one camera at origin looking down +z, 64x48, fx=fy=40
+    W, H, f = 64, 48, 40.0
+    T = np.eye(4)
+    # depth map: constant 2m wall, except a 1m patch in the left half
+    dmap = np.full((W, H), 2.0, np.float32)
+    dmap[:20, :] = 1.0
+    pts = np.array([
+        [0.0, 0.0, 2.0],     # on the wall, centre pixel -> observed
+        [0.0, 0.0, 3.0],     # behind the wall (occluded, |z-d|>tol)
+        [0.0, 0.0, -1.0],    # behind the camera
+        [10.0, 0.0, 2.0],    # projects outside the image
+        [-0.7, 0.0, 1.0],    # u = -0.7/1*40+31.5 = 3.5 -> patch, depth 1
+    ])
+    m = observed_points_mask(pts, T[None], dmap[None], f, f,
+                             (W - 1) / 2, (H - 1) / 2, tol=0.05)
+    assert m.tolist() == [True, False, False, False, True]
+
+
+def test_eval_object_gt_filter_restricts_completion():
+    gt = _icosphere(0.5)
+    full = eval_object(gt, gt, n=2000)
+    half = eval_object(gt, gt, n=2000,
+                       gt_filter=lambda p: p[:, 0] > 0)
+    assert full is not None and half is not None
+    # filtering GT points can only shrink (or keep) the completion set
+    assert half["completion"] <= full["completion"] + 1e-6
+    # filter that kills everything -> None
+    assert eval_object(gt, gt, n=500, gt_filter=lambda p: p[:, 0] > 99) is None

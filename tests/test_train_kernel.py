@@ -74,11 +74,15 @@ def ref_frame(bank, batch, n_iter, n_per):
     (1, 16, 2, 200, 2, 5, 2),     # background-like (2 ray chunks)
     (1, 256, 1, 96, 2, 4, 1),     # iMAP single-field shape (hidden 256)
     (1, 16, 1, 200, 2, 5, 1),     # wide ray tile (VMAP_RT=256, 1 chunk)
+    (1, 16, 2, 512, 2, 5, 2),     # chunk-merge with NM>1 (NC=4, VMAP_CM=2
+                                  # -> 2 merge groups per iteration)
 ])
 def test_fused_matches_xla(G, h, cap, n_per, n_iter, S, n_active,
                            monkeypatch):
     if cap == 1 and h == 16:
         monkeypatch.setenv("VMAP_RT", "256")
+    if n_per == 512:
+        monkeypatch.setenv("VMAP_CM", "2")
     key = jax.random.PRNGKey(0)
     bank = init_bank(key, cap, hidden=h)
     for s in range(n_active):

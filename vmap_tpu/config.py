@@ -120,8 +120,12 @@ class Config:
     # pixel-gather granularity: 1 = reference-exact independent pixels;
     # L > 1 draws L-pixel v-contiguous runs (Lx fewer TPU gather elements,
     # see core/step.py px_block). Needs H % L == 0 and ray budgets % L == 0
-    # or it silently falls back to 1.
+    # or it silently falls back to 1. px_block applies to the OBJECT bank
+    # (~91% of the gather elements); px_block_bg to the background bank,
+    # whose whole-image row coverage degrades under blocking much earlier
+    # (docs/quality_study.json).
     px_block: int = 1
+    px_block_bg: int = 1
 
     raw: dict = field(default_factory=dict, repr=False)
 
@@ -209,6 +213,7 @@ class Config:
         c.mesh_axes = g("tpu.mesh_axes", c.mesh_axes)
         c.fused_train_step = g("tpu.fused_train_step", c.fused_train_step)
         c.px_block = int(g("tpu.px_block", c.px_block))
+        c.px_block_bg = int(g("tpu.px_block_bg", c.px_block_bg))
         return c
 
     def fused_enabled(self) -> bool:

@@ -149,12 +149,17 @@ class Mapper:
         self.models_full_events = 0
 
         px_block = cfg.px_block
-        if px_block > 1 and (cfg.H % px_block or cfg.n_samples_per_frame
-                             % px_block or cfg.n_samples_per_frame_bg
-                             % px_block):
+        if px_block > 1 and (cfg.H % px_block
+                             or cfg.n_samples_per_frame % px_block):
             print(f"WARNING: tpu.px_block={px_block} incompatible with "
-                  f"H={cfg.H} / ray budgets; falling back to 1")
+                  f"H={cfg.H} / object ray budget; falling back to 1")
             px_block = 1
+        px_block_bg = cfg.px_block_bg
+        if px_block_bg > 1 and (cfg.H % px_block_bg
+                                or cfg.n_samples_per_frame_bg % px_block_bg):
+            print(f"WARNING: tpu.px_block_bg={px_block_bg} incompatible "
+                  f"with H={cfg.H} / bg ray budget; falling back to 1")
+            px_block_bg = 1
         self.statics = StepStatics(
             n_iter=cfg.n_iter_per_frame,
             win=cfg.win_size, n_px=cfg.n_samples_per_frame,
@@ -170,7 +175,7 @@ class Mapper:
             use_fused_frame=self.use_fused,
             shard_data_axis=(self.mesh is not None
                              and self.mesh.shape["data"] > 1),
-            px_block=px_block,
+            px_block=px_block, px_block_bg=px_block_bg,
         )
         if self._fused_sharded:
             from vmap_tpu.core.step import make_fused_step_sharded

@@ -89,8 +89,12 @@ class StepStatics:
     # (reference-exact, vmap.py:343-351); L>1 draws runs of L v-contiguous
     # pixels from an L-aligned grid, cutting the pool-gather element count
     # Lx (TPU gathers cost per element, not per byte). Requires n_px % L
-    # == 0 and H % L == 0.
+    # == 0 and H % L == 0. Separate knobs per bank: the background's row
+    # coverage (120 px over the whole image) starves under blocking long
+    # before the objects' bbox-local sampling does (docs/quality_study.json)
+    # — and the object bank owns ~91% of the gather elements anyway.
     px_block: int = 1
+    px_block_bg: int = 1
 
 
 def _kernel_mm_policy(compute_dtype: str) -> str:
@@ -115,7 +119,7 @@ def pick_group(capacity: int, hidden: int) -> int:
 def _sample_bank(key, pool_packed, pool_twc,
                  kf_pool_slot, kf_bbox, n_kf, latest2, obj_ids,
                  n_frames: int, n_px: int, n_b2s: int, st: StepStatics,
-                 keys=None):
+                 keys=None, px_block: int | None = None):
     """Vectorised training-sample gather for a whole bank.
 
     Returns dict of [cap, n_frames*n_px, ...] arrays (rays flattened like
@@ -132,7 +136,7 @@ def _sample_bank(key, pool_packed, pool_twc,
     W = pool_packed.shape[1]
     H = pool_packed.shape[2]
 
-    L = st.px_block
+    L = st.px_block if px_block is None else px_block
     assert n_px % L == 0 and H % L == 0, (n_px, H, L)
 
     def sample_one(key, kf_pool, bbox_tab, n_kf1, latest2_1, obj_id):
@@ -300,7 +304,8 @@ def make_frame_step(st: StepStatics):
                 bg_ids = jnp.zeros((1,), jnp.int32)
                 batch_bg = _sample_bank(k_bg, pool_packed, pool_twc,
                                         *bg_tab, bg_ids, n_frames_bg,
-                                        st.n_px_bg, st.n_b2s_bg, st)
+                                        st.n_px_bg, st.n_b2s_bg, st,
+                                        px_block=st.px_block_bg)
                 pb_bg, losses_b = fused_frame_prepared(
                     pb_bg, batch_bg, st.n_iter, n_per_bg, lr=st.lr,
                     wd=st.wd, color_scaling=st.color_scaling,
@@ -323,7 +328,8 @@ def make_frame_step(st: StepStatics):
             bg_ids = jnp.zeros((1,), jnp.int32)  # background is instance 0
             batch_bg = _sample_bank(k_bg, pool_packed, pool_twc,
                                     *bg_tab, bg_ids,
-                                    n_frames_bg, st.n_px_bg, st.n_b2s_bg, st)
+                                    n_frames_bg, st.n_px_bg, st.n_b2s_bg, st,
+                                    px_block=st.px_block_bg)
             if st.shard_data_axis:
                 from jax.sharding import PartitionSpec as P
                 batch_bg = jax.tree.map(
@@ -410,7 +416,8 @@ def make_fused_step_sharded(st: StepStatics, mesh):
             bg_ids = jnp.zeros((1,), jnp.int32)
             batch_bg = _sample_bank(k_bg, pool_packed, pool_twc, *bg_tab,
                                     bg_ids, n_frames_bg, st.n_px_bg,
-                                    st.n_b2s_bg, st)
+                                    st.n_b2s_bg, st,
+                                    px_block=st.px_block_bg)
             pb_bg, losses_b = fused_frame_prepared(
                 pb_bg, batch_bg, st.n_iter, n_per_bg, lr=st.lr, wd=st.wd,
                 color_scaling=st.color_scaling,

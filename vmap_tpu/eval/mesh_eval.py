@@ -51,13 +51,56 @@ def crop_to_gt_bound(rec_mesh: Mesh, gt_mesh: Mesh,
 
 
 def eval_object(rec_mesh: Mesh, gt_mesh: Mesh, n: int = 10000,
-                seed: int = 0) -> dict | None:
+                seed: int = 0, gt_filter=None) -> dict | None:
+    """``gt_filter``: optional boolean-mask function over GT sample points
+    (e.g. :func:`observed_points_mask`). The reference evaluates against
+    the FULL GT mesh (eval_3D_obj.py:68-117) because Replica trajectories
+    cover the room; for partial-coverage sequences completion over
+    never-observed GT regions is noise, so callers may restrict GT
+    sampling to the observed surface (the iMAP/NICE-SLAM culled-mesh
+    protocol)."""
     cropped = crop_to_gt_bound(rec_mesh, gt_mesh)
     if len(cropped.faces) == 0 or cropped.area <= 0:
         return None  # "no mesh found" (eval_3D_obj.py:17-19)
     rec_pts = cropped.sample_surface(n, seed=seed)
     gt_pts = gt_mesh.sample_surface(n, seed=seed + 1)
+    if gt_filter is not None:
+        keep = np.asarray(gt_filter(gt_pts), bool)
+        if keep.sum() == 0:
+            return None
+        gt_pts = gt_pts[keep]
     return all_metrics(gt_pts, rec_pts)
+
+
+def observed_points_mask(points: np.ndarray, poses: np.ndarray,
+                         depths: np.ndarray, fx: float, fy: float,
+                         cx: float, cy: float, tol: float = 0.05):
+    """Boolean mask of 3D points observed by >= 1 RGB-D frame.
+
+    A point counts as observed when it projects inside some frame, in
+    front of the camera, and its camera z-depth matches the frame's depth
+    map at that pixel within ``tol`` (occluded or out-of-frustum GT
+    regions were never trained on). Depth maps follow the framework's
+    (W, H) layout with 0 = invalid. Vectorised over frames x points.
+    """
+    points = np.asarray(points, np.float64)
+    poses = np.asarray(poses, np.float64)        # [F, 4, 4] camera-to-world
+    n = len(points)
+    seen = np.zeros(n, bool)
+    for T, dmap in zip(poses, depths):
+        R, t = T[:3, :3], T[:3, 3]
+        pc = (points - t) @ R                    # world -> camera
+        z = pc[:, 2]
+        ok = z > 1e-6
+        zs = np.where(ok, z, 1.0)
+        u = np.rint(pc[:, 0] / zs * fx + cx).astype(np.int64)
+        v = np.rint(pc[:, 1] / zs * fy + cy).astype(np.int64)
+        W, H = dmap.shape
+        ok &= (u >= 0) & (u < W) & (v >= 0) & (v < H)
+        d = dmap[np.clip(u, 0, W - 1), np.clip(v, 0, H - 1)]
+        ok &= (d > 0) & (np.abs(z - d) < tol)
+        seen |= ok
+    return seen
 
 
 def object_ids_in_dir(mesh_dir: str) -> list[int]:

@@ -313,7 +313,8 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
                  ablate: frozenset = frozenset(), ns: int = 1,
                  unroll: bool = False, grid_iters: bool = False,
                  lanemix: str = "mxu", adam_rsqrt: bool = False,
-                 sched: str = "phase", rt: int = R_TILE):
+                 sched: str = "phase", rt: int = R_TILE,
+                 shared: bool = False):
     """Kernel body for one invocation: every iteration of the frame for
     ``ns`` object groups whose render sections are MERGED.
 
@@ -384,10 +385,9 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
 
     def kernel(*refs):
         state_in = refs[0:6]            # (p_w, p_b, m_w, m_b, v_w, v_b)
-        (o_ref, d_ref, z_ref, dep_ref, col_ref, mo_ref, ms_ref, md_ref,
-         wmul_ref) = refs[6:15]
-        state_out = refs[15:21]
-        loss_ref = refs[21]
+        od_ref, z_ref, pk_ref, wmul_ref = refs[6:10]
+        state_out = refs[10:16]
+        loss_ref = refs[16]
         pout_w, pout_b, mout_w, mout_b, vout_w, vout_b = state_out
 
         def init_state():
@@ -548,8 +548,8 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
             merges subgroups by sublane-roll + add."""
             if "static0" in ablate:   # profiling: cost of dynamic batch reads
                 idx = 0
-            o = o_ref[sub, idx]                                # [XP, 128]
-            d = d_ref[sub, idx]
+            o = od_ref[sub, idx, 0:XP]                         # [XP, 128]
+            d = od_ref[sub, idx, XP:2 * XP]
             z = z_ref[0, idx]                                  # [OG, T] merged
 
             zb = jnp.dot(zbmats[sub], z, preferred_element_type=f32)
@@ -627,11 +627,12 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
             terms3 = rep3(terms)
             RC3 = lane_sum(terms3 * color)                     # [3OG, 128]
 
-            dep = dep_ref[0, idx]
-            mo = mo_ref[0, idx]
-            msm = ms_ref[0, idx]
-            md = md_ref[0, idx]
-            gtc = col_ref[0, idx]                              # [3*OG, 128]
+            pk = pk_ref[0, idx]       # [7*OG, rt]: dep | gtc(3) | mo|ms|md
+            dep = pk[0:OG]
+            gtc = pk[OG:4 * OG]                                # [3*OG, 128]
+            mo = pk[4 * OG:5 * OG]
+            msm = pk[5 * OG:6 * OG]
+            md = pk[6 * OG:7 * OG]
             w_d, w_c, w_o = w3[0:OG], w3[OG:2 * OG], w3[2 * OG:3 * OG]
 
             res_d = RD - dep
@@ -747,10 +748,16 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
         def iteration(it):
             """One optimisation iteration for all ``ns`` merged subgroups:
             per-subgroup forward -> merged render/loss/backward-head ->
-            per-subgroup backward -> per-subgroup masked AdamW."""
+            per-subgroup backward -> per-subgroup masked AdamW.
+
+            ``shared`` (chunk-merge): the ns "subgroups" are consecutive
+            ray chunks of ONE object group — all read parameter block 0,
+            their backward grads sum, and AdamW runs once."""
             w3 = wmul_ref[0, 0] if grid_iters else wmul_ref[0, it]
-            ps = [{n: view(pout_w, pout_b, n, sub) for n in P_NAMES}
+            ps = [{n: view(pout_w, pout_b, n, 0 if shared else sub)
+                   for n in P_NAMES}
                   for sub in range(ns)]
+            ns_adam = 1 if shared else ns
             def adam_sub(sub, g):
                 """Masked AdamW for one subgroup from its grads dict."""
                 c1v = w3[3 * OG:4 * OG]                        # [OG, 1]
@@ -789,7 +796,7 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
             # Adam right after its backward, so it sits adjacent to the
             # NEXT subgroup's MXU matmul chain in the instruction stream
             # (independent work the VLIW scheduler can overlap).
-            alt = (sched == "alt" and NC == 1
+            alt = (sched == "alt" and NC == 1 and not shared
                    and not ({"render", "bwdall", "adam"} & ablate))
             gacc = None
             lacc = None
@@ -807,12 +814,12 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
                     color = jax.nn.sigmoid(logits)
                     lobj = (jnp.sum(alpha[:, 0:1], 1, keepdims=True)
                             + jnp.sum(color[0:OG, 0:1], 1, keepdims=True))
-                    gs = [fake_grads(lobj) for _ in range(ns)]
+                    gs = [fake_grads(lobj) for _ in range(ns_adam)]
                 else:
                     lobj, da, dl = render_bwd(idx, w3, alpha, logits,
                                               z_ref[0, idx])
                     if "bwdall" in ablate:
-                        gs = [fake_grads(lobj) for _ in range(ns)]
+                        gs = [fake_grads(lobj) for _ in range(ns_adam)]
                     elif alt:
                         loss_ref[0] = (loss_ref[0]
                                        + jnp.where(coli_og == it, lobj, 0.0))
@@ -827,23 +834,33 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
                                         _roll_rows(da, -sub * G),
                                         _roll_rows(dl, -sub * G), lobj)
                               for sub in range(ns)]
+                        if shared:   # chunks of one group: grads sum
+                            g0 = gs[0]
+                            for g2 in gs[1:]:
+                                g0 = {n: g0[n] + g2[n] for n in P_NAMES}
+                            gs = [g0]
                 if gacc is None:
                     gacc, lacc = gs, lobj
                 else:
                     gacc = [{n: a[n] + b[n] for n in P_NAMES}
                             for a, b in zip(gacc, gs)]
                     lacc = lacc + lobj
+            if shared:   # per-chunk-row loss partials -> row 0 (one object)
+                lacc = jnp.where(
+                    jax.lax.broadcasted_iota(jnp.int32, (OG, 1), 0) == 0,
+                    jnp.broadcast_to(jnp.sum(lacc, 0, keepdims=True),
+                                     (OG, 1)), 0.0)
             loss_ref[0] = loss_ref[0] + jnp.where(coli_og == it, lacc, 0.0)
 
             # ---------------- masked AdamW ----------------
             if "adam" in ablate:    # profiling ablation: write grads as p
-                for sub in range(ns):
+                for sub in range(ns_adam):
                     for n in P_NAMES:
                         store(pout_w, pout_b, n, sub,
                               view(pout_w, pout_b, n, sub)
                               + 1e-30 * gacc[sub][n])
                 return
-            for sub in range(ns):
+            for sub in range(ns_adam):
                 adam_sub(sub, gacc[sub])
 
         # Mosaic lowers a DYNAMIC index on a non-minor block dimension as an
@@ -877,7 +894,8 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
 
 
 def _prepare_batch(batch: dict, scale, active, step, n_iter: int,
-                   n_per: int, G: int, ns: int = 1, rt: int = R_TILE):
+                   n_per: int, G: int, ns: int = 1, rt: int = R_TILE,
+                   cm: int = 1):
     """Sampler output -> kernel operand dict.
 
     ``batch`` carries per-ray origins/dirs (world frame) and per-sample
@@ -887,15 +905,25 @@ def _prepare_batch(batch: dict, scale, active, step, n_iter: int,
     ``ns`` render subgroups per invocation: per-ray operands are laid out
     with MERGED dense rows sub*G+g (object slot = pair*(ns*G) + sub*G + g,
     i.e. plain slot order), while the vec3 ray operands (o, d) stay
-    per-subgroup for the xs build."""
+    per-subgroup for the xs build.
+
+    ``cm`` (chunk merge, G=1 multi-chunk banks, exclusive with ns>1):
+    per-ray rows are cm CONSECUTIVE RAY CHUNKS of the same object, so the
+    render section runs once per cm chunks at cm/8 sublane density instead
+    of cm times at 1/8 (the background bank's NC=10 -> cm=5: 5x fewer
+    full-width render/loss/backward-head ops). Per-object wmul rows are
+    duplicated across the cm rows (each row carries a partial ray sum; the
+    weights/normalisers are per-object constants)."""
     f32 = jnp.float32
     cap = batch["depth"].shape[0]
     S = batch["z"].shape[-1]
     ng = cap // G
     assert ng % ns == 0, (ng, ns)
+    assert ns == 1 or cm == 1, (ns, cm)
     npair = ng // ns
     MG = ns * G                      # merged rows per invocation (<= OG)
     n_chunks = -(-n_per // rt)
+    assert n_chunks % cm == 0, (n_chunks, cm)
     RP = n_chunks * rt
     XP = _rup(3 * G, 8)
     active_f = active.astype(f32)
@@ -929,52 +957,83 @@ def _prepare_batch(batch: dict, scale, active, step, n_iter: int,
     adamv = adamv.reshape(3, npair, MG, n_iter).transpose(1, 3, 0, 2)
     adamv = jnp.pad(adamv, ((0, 0), (0, 0), (0, 0), (0, OG - MG)))
 
+    if cm > 1:
+        # chunk-merge rows all belong to the same object: duplicate its
+        # weights/normalisers/Adam factors across the OG rows (pad-chunk
+        # rows carry zero masks, so their duplicated weights are inert).
+        wm = jnp.broadcast_to(wm[..., :1], wm.shape[:3] + (OG,))
+        adamv = jnp.broadcast_to(adamv[..., :1], adamv.shape[:3] + (OG,))
     wmul = jnp.concatenate([wm, adamv], axis=2)                   # np,NI,6,8
     wmul = wmul.reshape(npair, n_iter, 6 * OG, 1)
-
-    def ray_tiles(a):
-        """[cap, NI*n_per] -> [npair, NI*NC, OG, 128] (rows sub*G+g)"""
-        a = pad_rays(a)
-        a = a.reshape(npair, MG, n_iter, n_chunks, rt)
-        a = a.transpose(0, 2, 3, 1, 4)
-        a = jnp.pad(a, ((0, 0),) * 3 + ((0, OG - MG), (0, 0)))
-        return a.reshape(npair, n_iter * n_chunks, OG, rt)
-
-    def vec3_tiles(a):
-        """[cap, NI*n_per, 3] (pre-scaled) -> [ng, NI*NC, XP, 128]"""
-        a = pad_rays(a)                          # [cap, NI, RP, 3]
-        a = a.reshape(ng, G, n_iter, n_chunks, rt, 3)
-        a = a.transpose(0, 2, 3, 1, 5, 4)        # ng,NI,NC,G,3,rt
-        a = a.reshape(ng, n_iter, n_chunks, 3 * G, rt)
-        a = jnp.pad(a, ((0, 0),) * 3 + ((0, XP - 3 * G), (0, 0)))
-        return a.reshape(ng, n_iter * n_chunks, XP, rt)
 
     inv_s = (1.0 / scale)[:, None, None].astype(f32)
     origins = batch["origins"].astype(f32) * inv_s
     dirs = batch["dirs"].astype(f32) * inv_s
 
-    z = pad_rays(batch["z"])                 # [cap, NI, RP, S]
-    z = z.reshape(npair, MG, n_iter, n_chunks, rt, S)
-    z = z.transpose(0, 2, 3, 1, 5, 4)        # np,NI,NC,MG,S,rt
-    z = z.reshape(npair, n_iter, n_chunks, MG, S * rt)
-    z = jnp.pad(z, ((0, 0),) * 3 + ((0, OG - MG), (0, 0)))
-    z = z.reshape(npair, n_iter * n_chunks, OG, S * rt)
+    # One transpose chain per DEVICE LAYOUT instead of one per logical
+    # operand: the round-1 layout ran 8 independent pad/reshape/transpose
+    # chains (~1.7 ms/frame of op-chain latency); packing the per-ray
+    # scalars into one [7*OG, rt] row-block (k*OG + merged-row, k = dep,
+    # r, g, b, mask_obj, mask_sem, mask_depth) and o/d into one
+    # [2*XP, rt] block turns that into 3 chains moving the same bytes.
+    od = jnp.concatenate([origins[..., None, :], dirs[..., None, :]],
+                         axis=-2)            # [cap, NR, 2, 3]
+    od = pad_rays(od)                        # [cap, NI, RP, 2, 3]
+    pkc = jnp.concatenate([
+        batch["depth"].astype(f32)[..., None],
+        batch["rgb"].astype(f32),
+        mask_obj.reshape(cap, -1)[..., None],
+        mask_sem.reshape(cap, -1)[..., None],
+        m_do.reshape(cap, -1)[..., None],
+    ], axis=-1)                              # [cap, NR, 7]
+    pkc = pad_rays(pkc)                      # [cap, NI, RP, 7]
+    zp = pad_rays(batch["z"])                # [cap, NI, RP, S]
 
-    gtc = pad_rays(batch["rgb"])             # [cap, NI, RP, 3]
-    gtc = gtc.reshape(npair, MG, n_iter, n_chunks, rt, 3)
-    gtc = gtc.transpose(0, 2, 3, 5, 1, 4)    # np,NI,NC,3,MG,rt
-    gtc = jnp.pad(gtc, ((0, 0),) * 4 + ((0, OG - MG), (0, 0)))
-    gtc = gtc.reshape(npair, n_iter * n_chunks, 3 * OG, rt)
+    if cm == 1:
+        od = od.reshape(ng, G, n_iter, n_chunks, rt, 2, 3)
+        od = od.transpose(0, 2, 3, 5, 1, 6, 4)   # ng,NI,NC,2,G,3,rt
+        od = od.reshape(ng, n_iter, n_chunks, 2, 3 * G, rt)
+        od = jnp.pad(od, ((0, 0),) * 4 + ((0, XP - 3 * G), (0, 0)))
+        od = od.reshape(ng, n_iter * n_chunks, 2 * XP, rt)
+
+        z = zp.reshape(npair, MG, n_iter, n_chunks, rt, S)
+        z = z.transpose(0, 2, 3, 1, 5, 4)        # np,NI,NC,MG,S,rt
+        z = z.reshape(npair, n_iter, n_chunks, MG, S * rt)
+        z = jnp.pad(z, ((0, 0),) * 3 + ((0, OG - MG), (0, 0)))
+        z = z.reshape(npair, n_iter * n_chunks, OG, S * rt)
+
+        pk = pkc.reshape(npair, MG, n_iter, n_chunks, rt, 7)
+        pk = pk.transpose(0, 2, 3, 5, 1, 4)      # np,NI,NC,7,MG,rt
+        pk = jnp.pad(pk, ((0, 0),) * 4 + ((0, OG - MG), (0, 0)))
+        pk = pk.reshape(npair, n_iter * n_chunks, 7 * OG, rt)
+        nc_out = n_chunks
+    else:
+        # chunk-merge layout (G=1): per-ray rows = cm consecutive chunks
+        # of the same object; the per-merge chunk index r rides the
+        # LEADING (subgroup) axis of od, exactly like ns-subgroups do.
+        NM = n_chunks // cm
+        od = od.reshape(ng, n_iter, NM, cm, rt, 2, 3)
+        od = od.transpose(0, 3, 1, 2, 5, 6, 4)   # ng,cm,NI,NM,2,3,rt
+        od = od.reshape(ng, cm, n_iter, NM, 2, 3, rt)
+        od = jnp.pad(od, ((0, 0),) * 4 + ((0, 0), (0, XP - 3), (0, 0)))
+        od = od.reshape(ng * cm, n_iter * NM, 2 * XP, rt)
+
+        z = zp.reshape(ng, n_iter, NM, cm, rt, S)
+        z = z.transpose(0, 1, 2, 3, 5, 4)        # ng,NI,NM,cm,S,rt
+        z = z.reshape(ng, n_iter, NM, cm, S * rt)
+        z = jnp.pad(z, ((0, 0),) * 3 + ((0, OG - cm), (0, 0)))
+        z = z.reshape(ng, n_iter * NM, OG, S * rt)
+
+        pk = pkc.reshape(ng, n_iter, NM, cm, rt, 7)
+        pk = pk.transpose(0, 1, 2, 5, 3, 4)      # ng,NI,NM,7,cm,rt
+        pk = jnp.pad(pk, ((0, 0),) * 4 + ((0, OG - cm), (0, 0)))
+        pk = pk.reshape(ng, n_iter * NM, 7 * OG, rt)
+        nc_out = NM
 
     return {
-        "o": vec3_tiles(origins), "d": vec3_tiles(dirs), "z": z,
-        "dep": ray_tiles(batch["depth"]),
-        "gtc": gtc,
-        "mo": ray_tiles(mask_obj.reshape(cap, -1)),
-        "ms": ray_tiles(mask_sem.reshape(cap, -1)),
-        "md": ray_tiles(m_do.reshape(cap, -1)),
-        "wmul": wmul,
-        "n_chunks": n_chunks, "S": S, "XP": XP, "ng": ng, "ns": ns,
+        "od": od, "z": z, "pk": pk, "wmul": wmul,
+        "n_chunks": nc_out, "S": S, "XP": XP, "ng": ng, "ns": ns,
+        "cm": cm,
     }
 
 
@@ -990,6 +1049,22 @@ def pick_rt(G: int, h: int, ng: int, n_per: int, S: int) -> int:
     if env is not None:
         return int(env)
     return R_TILE
+
+
+def pick_cm(G: int, ng: int, n_chunks: int) -> int:
+    """Chunk-merge factor for G=1 multi-chunk banks: the render/loss/
+    backward-head section of a G=1 group uses 1 of 8 sublane rows; merging
+    cm consecutive ray chunks into rows runs it once per cm chunks at cm/8
+    density. Largest divisor of n_chunks <= 8 (the background's NC=10 ->
+    cm=5: 2 render sections per iteration instead of 10). VMAP_CM
+    overrides (1 disables)."""
+    import os
+    env = os.environ.get("VMAP_CM")
+    if env is not None:
+        return int(env)
+    if G != 1 or n_chunks <= 1:
+        return 1
+    return max(d for d in range(1, OG + 1) if n_chunks % d == 0)
 
 
 def pick_ns(G: int, h: int, ng: int, n_per: int,
@@ -1095,10 +1170,13 @@ def fused_frame_prepared(pb: PreparedBank, batch: dict, n_iter: int,
     loc, RW, CW, RB = packed_layout(G, h)
     rt = pick_rt(G, h, ng, n_per, batch["z"].shape[-1])
     ns = pick_ns(G, h, ng, n_per, rt)
+    cm = pick_cm(G, ng, -(-n_per // rt)) if ns == 1 else 1
     b = _prepare_batch(batch, pb.scale, pb.active, pb.step, n_iter, n_per,
-                       G, ns, rt)
+                       G, ns, rt, cm)
     S, n_chunks, XP = b["S"], b["n_chunks"], b["XP"]
-    NI, NC = n_iter, n_chunks
+    NI, NC = n_iter, n_chunks          # NC = merge groups/iter when cm > 1
+    shared = cm > 1
+    nsk = cm if shared else ns         # kernel row-merge width
     npair = ng // ns
     T = S * rt
 
@@ -1115,12 +1193,12 @@ def fused_frame_prepared(pb: PreparedBank, batch: dict, n_iter: int,
                        or ((NC > 1 or rt > R_TILE) and env_gi == "1")))
     kernel = _make_kernel(G, h, S, NI, NC, lr, wd,
                           color_scaling, opacity_scaling, bf16, _ablate,
-                          ns=ns, unroll=unroll, grid_iters=grid_iters,
+                          ns=nsk, unroll=unroll, grid_iters=grid_iters,
                           lanemix=os.environ.get("VMAP_LANEMIX", "vpu"),
                           adam_rsqrt=os.environ.get("VMAP_ADAM_RSQRT",
                                                     "1") == "1",
                           sched=os.environ.get("VMAP_SCHED", "alt"),
-                          rt=rt)
+                          rt=rt, shared=shared)
 
     if grid_iters:
         grid = (npair, NI)
@@ -1138,12 +1216,13 @@ def fused_frame_prepared(pb: PreparedBank, batch: dict, n_iter: int,
         nw = NI
 
     def pspec(shape):
-        return pl.BlockSpec((ns,) + shape, gmap["state"],
+        return pl.BlockSpec((1 if shared else ns,) + shape, gmap["state"],
                             memory_space=pltpu.VMEM)
 
     def bspec(shape):
-        """Per-subgroup ray stream (o, d): leading axis = group."""
-        return pl.BlockSpec((ns, nb) + shape, gmap["batch"],
+        """Per-subgroup ray stream (o, d): leading axis = group (ns-merge)
+        or chunk-within-merge (cm-merge)."""
+        return pl.BlockSpec((nsk, nb) + shape, gmap["batch"],
                             memory_space=pltpu.VMEM)
 
     def mspec(shape):
@@ -1156,10 +1235,8 @@ def fused_frame_prepared(pb: PreparedBank, batch: dict, n_iter: int,
 
     param_specs = [pspec((RW, CW)), pspec((RB, 128))]
     in_specs = (param_specs * 3
-                + [bspec((XP, rt)), bspec((XP, rt)), mspec((OG, T)),
-                   mspec((OG, rt)), mspec((3 * OG, rt)),
-                   mspec((OG, rt)), mspec((OG, rt)),
-                   mspec((OG, rt)), wspec])
+                + [bspec((2 * XP, rt)), mspec((OG, T)),
+                   mspec((7 * OG, rt)), wspec])
     out_specs = (param_specs * 3
                  + [pl.BlockSpec((1, OG, rt), gmap["loss"],
                                  memory_space=pltpu.VMEM)])
@@ -1177,9 +1254,7 @@ def fused_frame_prepared(pb: PreparedBank, batch: dict, n_iter: int,
             # params+moments x6 + a group's full-frame ray blocks exceed the
             # 16 MiB default scoped-vmem budget; v5e has 128 MiB VMEM.
             vmem_limit_bytes=110 * 1024 * 1024),
-    )(*pb.p, *pb.m, *pb.v,
-      b["o"], b["d"], b["z"], b["dep"], b["gtc"], b["mo"], b["ms"], b["md"],
-      b["wmul"])
+    )(*pb.p, *pb.m, *pb.v, b["od"], b["z"], b["pk"], b["wmul"])
 
     new_pb = pb.replace(
         p=tuple(outs[0:2]), m=tuple(outs[2:4]), v=tuple(outs[4:6]),
