@@ -123,8 +123,9 @@ class Config:
     # or it silently falls back to 1. px_block applies to the OBJECT bank
     # (~91% of the gather elements); px_block_bg to the background bank,
     # whose whole-image row coverage degrades under blocking much earlier
-    # (docs/quality_study.json).
-    px_block: int = 1
+    # (docs/quality_study.json). Default 4: object quality within noise of
+    # px1 (px_block4_obj_only study) and the frame is 12% faster.
+    px_block: int = 4
     px_block_bg: int = 1
 
     raw: dict = field(default_factory=dict, repr=False)
