@@ -314,7 +314,7 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
                  unroll: bool = False, grid_iters: bool = False,
                  lanemix: str = "mxu", adam_rsqrt: bool = False,
                  sched: str = "phase", rt: int = R_TILE,
-                 shared: bool = False):
+                 shared: bool = False, fwdsplit: bool = False):
     """Kernel body for one invocation: every iteration of the frame for
     ``ns`` object groups whose render sections are MERGED.
 
@@ -541,11 +541,12 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
         def tile(a, s):
             return a[:, s * rt:(s + 1) * rt]
 
-        def fwd_chunk(p, idx, sub):
-            """Forward for one 128-ray chunk of subgroup ``sub``. Returns
-            (alpha [OG, T], colour logits [3OG, T], saved activations);
-            alpha/logit pad rows are structurally zero, so the caller
-            merges subgroups by sublane-roll + add."""
+        def fwd_pe(p, idx, sub):
+            """PE phase of the forward: xs build + dir projection + the
+            sin/cos double-angle ladder + embedding concats. VPU-dominated
+            (one small MXU dot); split from the matmul phase so the caller
+            can emit subgroup B's PE adjacent to subgroup A's MLP matmuls
+            (independent VPU/MXU work the VLIW scheduler can overlap)."""
             if "static0" in ablate:   # profiling: cost of dynamic batch reads
                 idx = 0
             o = od_ref[sub, idx, 0:XP]                         # [XP, 128]
@@ -556,7 +557,6 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
             xs = jnp.concatenate(
                 [o + tile(zb, s) * d for s in range(S)], 1)     # [XP, T]
 
-            # ---------------- forward ----------------
             proj = jnp.dot(p["dirs"], xs, preferred_element_type=f32)
             # sin(pi*2^k*proj), k=0..5, via the double-angle ladder: two
             # transcendentals total instead of six sins fwd + six cos bwd
@@ -580,7 +580,11 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
             emb_a = jnp.concatenate([band0, sins[1], sins[2], sins[3]],
                                     0).astype(cdt)
             emb_b = jnp.concatenate([sins[4], sins[5]], 0).astype(cdt)
+            return xs, coss, emb_a, emb_b
 
+        def fwd_mlp(p, pe_out):
+            """MLP matmul phase of the forward (MXU-dominated)."""
+            xs, coss, emb_a, emb_b = pe_out
             h1 = jax.nn.relu(mm(p["w_in"], emb_a) + p["b_in"]).astype(cdt)
             h2 = jax.nn.relu(mm(p["w_mid1"], h1) + p["b_mid1"]).astype(cdt)
             h3 = jax.nn.relu(mm(p["w_cat_h"], h2) + mm(p["w_cat_x"], emb_a)
@@ -595,6 +599,13 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
                      "emb_b": emb_b, "h1": h1, "h2": h2, "h3": h3,
                      "h4": h4, "cact": cact}
             return alpha, logits, saved
+
+        def fwd_chunk(p, idx, sub):
+            """Forward for one 128-ray chunk of subgroup ``sub``. Returns
+            (alpha [OG, T], colour logits [3OG, T], saved activations);
+            alpha/logit pad rows are structurally zero, so the caller
+            merges subgroups by sublane-roll + add."""
+            return fwd_mlp(p, fwd_pe(p, idx, sub))
 
         def render_bwd(idx, w3, alpha, logits, z):
             """Render + losses + backward-to-(dalpha, dlogits) on MERGED
@@ -805,7 +816,16 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
                 # iteration's chunks, so the read offset is STATIC (dynamic
                 # non-minor block indexing costs O(block) in Mosaic).
                 idx = ch if grid_iters else it * NC + ch
-                fw = [fwd_chunk(ps[sub], idx, sub) for sub in range(ns)]
+                if fwdsplit and ns > 1:
+                    # emit ALL subgroups' PE phases (VPU), then the MLP
+                    # matmul phases (MXU): sub k's PE sits adjacent to sub
+                    # k-1's matmuls in the instruction stream — independent
+                    # VPU/MXU work the VLIW scheduler can overlap (same
+                    # adjacency trick as sched="alt" for Adam/backward).
+                    pes = [fwd_pe(ps[sub], idx, sub) for sub in range(ns)]
+                    fw = [fwd_mlp(ps[sub], pes[sub]) for sub in range(ns)]
+                else:
+                    fw = [fwd_chunk(ps[sub], idx, sub) for sub in range(ns)]
                 alpha, logits = fw[0][0], fw[0][1]
                 for sub in range(1, ns):
                     alpha = alpha + _roll_rows(fw[sub][0], sub * G)
@@ -1198,7 +1218,9 @@ def fused_frame_prepared(pb: PreparedBank, batch: dict, n_iter: int,
                           adam_rsqrt=os.environ.get("VMAP_ADAM_RSQRT",
                                                     "1") == "1",
                           sched=os.environ.get("VMAP_SCHED", "alt"),
-                          rt=rt, shared=shared)
+                          rt=rt, shared=shared,
+                          fwdsplit=os.environ.get("VMAP_FWDSPLIT",
+                                                  "1") == "1")
 
     if grid_iters:
         grid = (npair, NI)
