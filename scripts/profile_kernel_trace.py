@@ -21,7 +21,8 @@ from bench import build_workload
 
 
 def capture(trace_dir: str):
-    step, st, ws = build_workload("bfloat16", fused=True)
+    step, st, ws = build_workload(
+        os.environ.get("TRACE_DTYPE", "float32"), fused=True)
     pb_obj, pb_bg, pool, obj_tab, obj_ids, bg_tab = ws
     key = jax.random.PRNGKey(0)
     # warm up / compile outside the trace

@@ -135,3 +135,41 @@ def test_eval_object_gt_filter_restricts_completion():
     assert half["completion"] <= full["completion"] + 1e-6
     # filter that kills everything -> None
     assert eval_object(gt, gt, n=500, gt_filter=lambda p: p[:, 0] > 99) is None
+
+
+def test_crop_to_gt_bound_planar_gt_min_extent():
+    # planar GT: OBB thickness ~0 -> multiplicative enlarge alone would
+    # crop a volumetric reconstruction to an infinitesimal slab
+    quad_v = np.array([[-1.0, 1.0, -1], [1.0, 1.0, -1],
+                       [1.0, 1.0, 1], [-1.0, 1.0, 1]])
+    quad_f = np.array([[0, 1, 2], [0, 2, 3]])
+    gt = Mesh(quad_v, quad_f)
+    # reconstruction: same plane but bumpy within +-3cm
+    rng = np.random.default_rng(0)
+    rec_v = quad_v.copy()
+    grid = np.stack(np.meshgrid(np.linspace(-1, 1, 9),
+                                np.linspace(-1, 1, 9)), -1).reshape(-1, 2)
+    rec_v = np.column_stack([grid[:, 0],
+                             1.0 + rng.uniform(-0.03, 0.03, len(grid)),
+                             grid[:, 1]])
+    faces = []
+    for i in range(8):
+        for j in range(8):
+            a = i * 9 + j
+            faces += [[a, a + 1, a + 10], [a, a + 10, a + 9]]
+    rec = Mesh(rec_v, np.array(faces))
+    cropped = crop_to_gt_bound(rec, gt)
+    assert len(cropped.faces) > 0
+    m = eval_object(rec, gt, n=2000)
+    assert m is not None and m["completion"] < 0.1, m
+
+
+def test_synthetic_depth_respects_max_depth():
+    from vmap_tpu.data.synthetic import SyntheticScene
+    scene = SyntheticScene(width=64, height=48, fx=40.0, fy=40.0)
+    for fid in (0, 5, 11):
+        _, depth, _, _ = scene.render(fid, n_frames=12)
+        assert depth.max() <= scene.max_depth + 1e-5
+    # the clamp must not wipe out the scene: most pixels still valid
+    _, depth, _, _ = scene.render(0, n_frames=12)
+    assert (depth > 0).mean() > 0.4

@@ -33,6 +33,13 @@ class SyntheticScene:
     floor_y: float = 1.0       # y points down; floor below the objects
     orbit_radius: float = 2.5
     orbit_height: float = -0.4
+    # Depth sensor range: z beyond this reads 0 (invalid), like the
+    # reference's DepthFilter transform (image_transforms.py:24-31) and
+    # every real RGB-D sensor. Without it, near-horizon rays on the
+    # infinite analytic floor return depths of tens of metres, which blow
+    # the background's posed-depth OBB (and so its meshing voxel size) up
+    # by an order of magnitude.
+    max_depth: float = 8.0
 
     SPHERE_ID = 1
     BOX_ID = 2
@@ -119,7 +126,8 @@ class SyntheticScene:
 
         # z-depth (projection onto camera forward axis), not euclidean:
         # depth = t * (d_cam z component == 1) -> t IS the z depth already
-        depth = np.where(hit, t_hit, 0.0).astype(np.float32)
+        depth = np.where(hit & (t_hit <= self.max_depth),
+                         t_hit, 0.0).astype(np.float32)
 
         # simple lambert shading with per-object albedo
         pt = o + d_world * np.where(hit, t_hit, 1.0)[..., None]

@@ -42,11 +42,20 @@ def eval_scene(rec_mesh: Mesh, gt_mesh: Mesh, n: int = 200000,
 
 
 def crop_to_gt_bound(rec_mesh: Mesh, gt_mesh: Mesh,
-                     enlarge: float = 1.0 / 0.9) -> Mesh:
+                     enlarge: float = 1.0 / 0.9,
+                     min_extent: float = 0.1) -> Mesh:
     """Crop the reconstruction to the GT mesh's oriented bounds enlarged by
-    ``enlarge`` (eval_3D_obj.py:13-16 divides extents by 0.9)."""
+    ``enlarge`` (eval_3D_obj.py:13-16 divides extents by 0.9).
+
+    ``min_extent`` floors each box side: a PLANAR GT (e.g. an analytic
+    floor patch) has a near-zero-thickness OBB, and the multiplicative
+    enlarge alone would crop away everything but an infinitesimally thin
+    slab of the reconstruction. The reference never hits this because
+    Replica GT submeshes are volumetric; the floor mirrors its 10 cm
+    min-extent convention for degenerate bounds (vmap.py:297-300)."""
     to_origin, extents = oriented_bounds(gt_mesh.vertices)
-    box = OrientedBox.from_to_origin(to_origin, np.asarray(extents) * enlarge)
+    ext = np.maximum(np.asarray(extents) * enlarge, min_extent)
+    box = OrientedBox.from_to_origin(to_origin, ext)
     return rec_mesh.slice_box(box)
 
 
