@@ -120,3 +120,38 @@ def test_fused_matches_xla(G, h, cap, n_per, n_iter, S, n_active,
     inact = ~np.asarray(bank.active)
     np.testing.assert_array_equal(
         np.asarray(new_bank.flat)[inact], np.asarray(bank.flat)[inact])
+
+
+def test_fast_math_kernels_accurate():
+    """The polynomial sincos / exp2-bit sigmoid fast paths (VMAP_SINCOS=poly,
+    VMAP_SIGMOID=fast) match the exact transcendentals to ~1e-6 abs — far
+    below the kernel's own f32 tolerance vs the XLA reference."""
+    from vmap_tpu.kernels.train_step import sigmoid_fast, sincos_pi_poly
+    p = jnp.asarray(np.linspace(-7.5, 7.5, 200001), jnp.float32)
+    s, c = sincos_pi_poly(p)
+    np.testing.assert_allclose(np.asarray(s), np.sin(np.pi * np.asarray(p)),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(c), np.cos(np.pi * np.asarray(p)),
+                               atol=2e-6)
+    x = jnp.asarray(np.linspace(-80.0, 80.0, 200001), jnp.float32)
+    got = sigmoid_fast(x)
+    ref = 1.0 / (1.0 + np.exp(-np.asarray(x, np.float64)))
+    np.testing.assert_allclose(np.asarray(got), ref, atol=3e-7)
+
+
+def test_fused_fast_math_matches_xla(monkeypatch):
+    """Full-kernel exactness with the fast-math knobs ON (the TPU default
+    when enabled): object-bank shape, poly sincos + fast sigmoid."""
+    monkeypatch.setenv("VMAP_SINCOS", "poly")
+    monkeypatch.setenv("VMAP_SIGMOID", "fast")
+    test_fused_matches_xla(4, 32, 8, 120, 3, 10, 7, monkeypatch)
+
+
+def test_fused_adam_block_matches_xla(monkeypatch):
+    """Full-kernel exactness with the whole-block AdamW path (VMAP_ADAM=
+    block): one [RW, CW] update per subgroup instead of 10 per-tensor
+    views; bias correction row-vectors sliced from the full-height dot."""
+    monkeypatch.setenv("VMAP_ADAM", "block")
+    test_fused_matches_xla(4, 32, 8, 120, 3, 10, 7, monkeypatch)
+    # and on the chunk-merged background-bank shape (G=1, shared adam)
+    test_fused_matches_xla(1, 16, 2, 512, 2, 5, 2, monkeypatch)

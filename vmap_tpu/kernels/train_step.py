@@ -294,6 +294,53 @@ def unprepare_params(prep: dict, spec, G: int) -> jax.Array:
 
 _PI = np.float32(np.pi)
 
+# Quasi-minimax (Chebyshev-node LSQ) polynomials for sin(pi x) / cos(pi x)
+# after the EXACT period reduction r = x - 2*round(x/2) (sin/cos of pi*x are
+# 2-periodic in x, and the reduction is exact in f32 for |x| < 2^23).
+# Max abs error ~1.1e-6 in f32 over all x — far below the ladder's own
+# accepted rounding growth (<= ~32 ulp at band 5). ~18 VPU ops for the PAIR
+# versus two libm-grade transcendentals on the same [DG, T] tile.
+_SINPI_C = tuple(np.float32(c) for c in (
+    3.14159265e+00, -5.16771255e+00, 2.55016036e+00, -5.99242307e-01,
+    8.20818886e-02, -7.27531576e-03, 3.95280458e-04))
+_COSPI_C = tuple(np.float32(c) for c in (
+    1.00000000e+00, -4.93480219e+00, 4.05871182e+00, -1.33526029e+00,
+    2.35320826e-01, -2.57858088e-02, 1.90432896e-03, -8.86909372e-05))
+
+
+# 2^f on [-0.5, 0.5] (Chebyshev-node LSQ, deg 5, max rel err ~1.0e-7) for
+# the fast sigmoid: 1/(1 + 2^(-x*log2 e)) with 2^t split into round/poly and
+# an exponent-bit construction. Max abs err ~1.1e-7 over all x in f32.
+_EXP2_C = tuple(np.float32(c) for c in (
+    1.00000008, 0.69314721, 0.24022107, 0.05550327, 0.00967604, 0.00134004))
+_NLOG2E = np.float32(-1.4426950408889634)
+
+
+def sigmoid_fast(x):
+    t = jnp.clip(x * _NLOG2E, -126.0, 126.0)
+    n = jnp.round(t)
+    f = t - n
+    p = _EXP2_C[-1]
+    for c in _EXP2_C[-2::-1]:
+        p = p * f + c
+    two_n = jax.lax.bitcast_convert_type(
+        (n.astype(jnp.int32) + 127) << 23, jnp.float32)
+    return 1.0 / (1.0 + two_n * p)
+
+
+def sincos_pi_poly(p):
+    """(sin(pi*p), cos(pi*p)) as one shared-range-reduction poly pair."""
+    r = p - 2.0 * jnp.round(p * 0.5)
+    t = r * r
+    s = _SINPI_C[-1]
+    for c in _SINPI_C[-2::-1]:
+        s = s * t + c
+    s = s * r
+    c_ = _COSPI_C[-1]
+    for c in _COSPI_C[-2::-1]:
+        c_ = c_ * t + c
+    return s, c_
+
 
 def _mm_policy(bf16) -> str:
     """Normalise the matmul dtype policy: False/"f32" (all f32),
@@ -314,7 +361,9 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
                  unroll: bool = False, grid_iters: bool = False,
                  lanemix: str = "mxu", adam_rsqrt: bool = False,
                  sched: str = "phase", rt: int = R_TILE,
-                 shared: bool = False, fwdsplit: bool = False):
+                 shared: bool = False, fwdsplit: bool = False,
+                 sincos: str = "exact", sigmoid: str = "exact",
+                 adam_block: bool = False):
     """Kernel body for one invocation: every iteration of the frame for
     ``ns`` object groups whose render sections are MERGED.
 
@@ -476,6 +525,39 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
             maskf.append({n: jnp.where(updb[sub][n], 1.0, 0.0)
                           for n in P_NAMES})
 
+        # adam_block: the 10 per-tensor wide-view updates collapse into ONE
+        # full-width [RW, CW] update (fewer, fatter VPU ops). Hoisted
+        # constants: full-block masks and the row -> merged-object one-hot
+        # (so the per-iteration bias-correction row vectors cost ONE
+        # [RW, OG] x [OG, 1] dot per scalar instead of 8 per-class dots;
+        # the bias path reuses slices of the full-height vectors).
+        wide_names = [n for n in P_NAMES if not n.startswith("b_")]
+        _wrows = sum(shapes[n][0] for n in wide_names)
+
+        def place_rows(piece, width, dtype=None):
+            """Assemble [RW, width] from per-wide-name pieces in packed
+            row order (cols zero-padded to ``width``)."""
+            pieces = []
+            for n in wide_names:
+                p_ = piece(n)
+                dt = dtype or p_.dtype
+                if p_.shape[1] < width:
+                    p_ = jnp.concatenate(
+                        [p_, jnp.zeros((p_.shape[0], width - p_.shape[1]),
+                                       dt)], 1)
+                pieces.append(p_.astype(dt))
+            if _wrows < RW:
+                pieces.append(jnp.zeros((RW - _wrows, width),
+                                        pieces[0].dtype))
+            return jnp.concatenate(pieces, 0)
+
+        if adam_block:
+            updb_wb = [place_rows(lambda n: updb[sub][n], CW, bool)
+                       for sub in range(ns)]
+            maskf_wb = [jnp.where(u, 1.0, 0.0) for u in updb_wb]
+            oh_wb = [place_rows(lambda n: ohs[(cls(n), sub)], OG)
+                     for sub in range(ns)]
+
         # Per-ray reductions over the S sample tiles, their broadcasts, and
         # the channel triplication/summing of the colour rows. Two
         # implementations, selected by ``lanemix``:
@@ -566,6 +648,14 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
             if "ladder" in ablate:  # profiling: transcendental/ladder cost
                 sins = [proj * (0.1 * (k + 1)) for k in range(6)]
                 coss = [proj * (0.05 * (k + 1)) for k in range(6)]
+            elif sincos == "poly":
+                s0, c0 = sincos_pi_poly(proj)
+                sins = [s0]
+                coss = [c0]
+                for _ in range(5):
+                    s_, c_ = sins[-1], coss[-1]
+                    sins.append(2.0 * s_ * c_)
+                    coss.append(1.0 - 2.0 * s_ * s_)
             else:
                 sins = [jnp.sin(proj * _PI)]
                 coss = [jnp.cos(proj * _PI)]
@@ -617,8 +707,9 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
             # only the inherently sequential cumulative/suffix products run
             # per tile, and per-ray reductions/broadcasts ride the MXU via
             # lane_sum/bcast.
-            color = jax.nn.sigmoid(logits)
-            occ = jax.nn.sigmoid(alpha)
+            sig = sigmoid_fast if sigmoid == "fast" else jax.nn.sigmoid
+            color = sig(logits)
+            occ = sig(alpha)
             # 1 - occ + 1e-10 can const-fold to exactly 0 at occ == 1 under
             # some compilation paths; clamp so the cumprod backward's
             # division stays finite (the reference's intended epsilon).
@@ -773,12 +864,51 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
                 """Masked AdamW for one subgroup from its grads dict."""
                 c1v = w3[3 * OG:4 * OG]                        # [OG, 1]
                 c2v = w3[4 * OG:5 * OG]
-                rowvecs = {m: (jnp.dot(ohs[(m, sub)], c1v,
-                                       preferred_element_type=f32),
-                               jnp.dot(ohs[(m, sub)], c2v,
-                                       preferred_element_type=f32))
-                           for m in ("div", "dirs", "alpha", "head")}
-                for n in P_NAMES:
+                if adam_block:
+                    c1w = jnp.dot(oh_wb[sub], c1v,
+                                  preferred_element_type=f32)  # [RW, 1]
+                    c2w = jnp.dot(oh_wb[sub], c2v,
+                                  preferred_element_type=f32)
+                    mf = maskf_wb[sub]
+                    gw = place_rows(lambda n: g[n], CW) * mf
+                    pw = pout_w[sub]
+                    mw = mout_w[sub]
+                    vw = vout_w[sub]
+                    mn = B1 * mw + (1.0 - B1) * gw
+                    vn = B2 * vw + (1.0 - B2) * gw * gw
+                    if adam_rsqrt:
+                        upd = (lr * (mn * c1w)
+                               * jax.lax.rsqrt(jnp.maximum(vn * c2w,
+                                                           EPS * EPS)))
+                    else:
+                        upd = lr * (mn * c1w) / (jnp.sqrt(vn * c2w) + EPS)
+                    pout_w[sub] = pw - (lr * wd * pw + upd) * mf
+                    mout_w[sub] = jnp.where(updb_wb[sub], mn, mw)
+                    vout_w[sub] = jnp.where(updb_wb[sub], vn, vw)
+                    # bias path: the per-class correction row-vectors are
+                    # exact row-slices of the full-height vectors (w_in
+                    # rows share b_*'s ri//h object map, w_alpha b_alpha's,
+                    # w_out b_out's).
+                    o_div = loc["w_in"][1]
+                    o_al = loc["w_alpha"][1]
+                    o_hd = loc["w_out"][1]
+                    rowvecs = {
+                        "div": (c1w[o_div:o_div + HG],
+                                c2w[o_div:o_div + HG]),
+                        "alpha": (c1w[o_al:o_al + OG],
+                                  c2w[o_al:o_al + OG]),
+                        "head": (c1w[o_hd:o_hd + 3 * OG],
+                                 c2w[o_hd:o_hd + 3 * OG]),
+                    }
+                    names = [n for n in P_NAMES if n.startswith("b_")]
+                else:
+                    rowvecs = {m: (jnp.dot(ohs[(m, sub)], c1v,
+                                           preferred_element_type=f32),
+                                   jnp.dot(ohs[(m, sub)], c2v,
+                                           preferred_element_type=f32))
+                               for m in ("div", "dirs", "alpha", "head")}
+                    names = P_NAMES
+                for n in names:
                     c1r, c2r = rowvecs[cls(n)]
                     mf = maskf[sub][n]
                     ggrad = g[n] * mf
@@ -1220,7 +1350,15 @@ def fused_frame_prepared(pb: PreparedBank, batch: dict, n_iter: int,
                           sched=os.environ.get("VMAP_SCHED", "alt"),
                           rt=rt, shared=shared,
                           fwdsplit=os.environ.get("VMAP_FWDSPLIT",
-                                                  "1") == "1")
+                                                  "1") == "1",
+                          # poly sincos: ~1e-6-exact, -11% object-kernel
+                          # time on v5e (8.44 -> 7.47 ms); the fast sigmoid
+                          # measured NEUTRAL-to-worse (XLA's logistic is
+                          # already cheap on TPU) so it stays opt-in.
+                          sincos=os.environ.get("VMAP_SINCOS", "poly"),
+                          sigmoid=os.environ.get("VMAP_SIGMOID", "exact"),
+                          adam_block=os.environ.get("VMAP_ADAM",
+                                                    "name") == "block")
 
     if grid_iters:
         grid = (npair, NI)
