@@ -38,8 +38,26 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
-    os.makedirs(args.logdir, exist_ok=True)
-    shutil.copy(args.config, args.logdir)
+
+    # Some environments register extra experimental platforms via
+    # sitecustomize and override the JAX_PLATFORMS env var programmatically;
+    # restore the standard env semantics so `JAX_PLATFORMS=cpu python
+    # train.py` really runs on CPU.
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    # multi-host: VMAP_COORDINATOR/VMAP_NUM_PROCESSES/VMAP_PROCESS_ID start
+    # one process per host, all running this same loop over the same frame
+    # stream; the object bank shards over the global mesh (tpu.mesh_axes)
+    # and only the primary process writes artifacts. No-op single-process.
+    from vmap_tpu.parallel.distributed import init_from_env, is_primary
+    init_from_env()
+
+    primary = is_primary()
+    if primary:
+        os.makedirs(args.logdir, exist_ok=True)
+        shutil.copy(args.config, args.logdir)
 
     from vmap_tpu.config import Config
     from vmap_tpu.core import checkpoint as ckpt_lib
@@ -61,7 +79,7 @@ def main(argv=None):
 
     timer = StageTimer(enabled=args.profile)
     log_path = os.path.join(args.logdir, "train_log.jsonl")
-    log_f = open(log_path, "a")
+    log_f = open(log_path if primary else os.devnull, "a")
 
     trace_cm = None
     if args.trace:
@@ -111,9 +129,10 @@ def main(argv=None):
                 }) + "\n")
             pending.clear()
             fps = (frame_idx + 1 - start_frame) / max(time.time() - t_start, 1e-9)
-            print(f"frame {frame_idx}/{n_frames} loss={loss:.3f} "
-                  f"objs={mapper.n_objects} pool={mapper.pool.n_used} "
-                  f"fps={fps:.2f}")
+            if primary:
+                print(f"frame {frame_idx}/{n_frames} loss={loss:.3f} "
+                      f"objs={mapper.n_objects} pool={mapper.pool.n_used} "
+                      f"fps={fps:.2f}")
             log_f.flush()
         timer.report()
 
@@ -123,8 +142,9 @@ def main(argv=None):
             with timer("mesh"):
                 mesh_dir = os.path.join(args.logdir, "scene_mesh")
                 paths = mapper.export_meshes(mesh_dir, frame_idx)
-                print(f"frame {frame_idx}: exported {len(paths)} meshes "
-                      f"-> {mesh_dir}")
+                if primary:
+                    print(f"frame {frame_idx}: exported {len(paths)} meshes "
+                          f"-> {mesh_dir}")
             if args.save_ckpt:
                 with timer("ckpt"):
                     ckpt_dir = os.path.join(args.logdir, "ckpt")

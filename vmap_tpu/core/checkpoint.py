@@ -29,9 +29,12 @@ from vmap_tpu.core.bank import BankState
 def save_object_checkpoint(mapper, obj_id: int, path: str, epoch: int) -> str:
     """``<path>/obj_<id>_frame_<epoch>.npz`` (naming parity with
     vmap.py:463)."""
-    os.makedirs(path, exist_ok=True)
     pe, mlp_p, scale = mapper.object_params(obj_id)
     bound = mapper.get_bound(obj_id)
+    from vmap_tpu.parallel.distributed import is_primary
+    if not is_primary():   # multi-process: primary writes, others just
+        return ""          # participated in any collective host-views
+    os.makedirs(path, exist_ok=True)
     out = {f"mlp/{k}": np.asarray(v) for k, v in mlp_p.items()}
     out |= {f"pe/{k}": np.asarray(v) for k, v in pe.items()}
     out["epoch"] = np.int64(epoch)
@@ -165,6 +168,9 @@ def save_full_checkpoint(mapper, path: str, frame_id: int) -> str:
     }
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(ckpt_dir, arrays, force=True)
+    from vmap_tpu.parallel.distributed import is_primary
+    if not is_primary():   # orbax save above is collective; the host-state
+        return ckpt_dir    # JSON is written once by the primary
     host = {
         "frame_id": frame_id,
         "obj_table": _table_to_plain(mapper.obj_table),

@@ -72,6 +72,7 @@ class Mapper:
         # bank replicate, and the bg ray batch shards along "data" (XLA
         # psums the bg grads). SURVEY §2.2.
         self.mesh = None
+        self._host_view_cache = {}
         if cfg.mesh_axes:
             from vmap_tpu.parallel.sharding import mesh_from_axes
             self.mesh = mesh_from_axes(cfg.mesh_axes)
@@ -202,13 +203,27 @@ class Mapper:
             _UNPREPARE_JIT = jax.jit(unprepare_bank)
         return _UNPREPARE_JIT
 
+    def _host_view(self, bank):
+        """Multi-process runs shard the object bank across hosts; host-side
+        consumers of this getter (meshing, eval, checkpoint) need the full
+        arrays, so all-gather to replicated. COLLECTIVE: every process
+        reaches these getters at the same cadence (same deterministic
+        stream), so the gather lines up. Cached per underlying bank."""
+        if bank is None or self.mesh is None or jax.process_count() == 1:
+            return bank
+        if self._host_view_cache.get("key") is not bank:
+            from vmap_tpu.parallel.distributed import replicate_tree
+            self._host_view_cache = {
+                "key": bank, "val": replicate_tree(bank, self.mesh)}
+        return self._host_view_cache["val"]
+
     @property
     def bank_obj(self):
         if not self.use_fused:
-            return self._bank_obj
+            return self._host_view(self._bank_obj)
         if self._bank_obj is None:
             self._bank_obj = self._unprepare_jit()(self._pb_obj)
-        return self._bank_obj
+        return self._host_view(self._bank_obj)
 
     @bank_obj.setter
     def bank_obj(self, bank):
@@ -384,8 +399,8 @@ class Mapper:
         obj_tab, bg_tab = self._device_tables()
         obj_ids = jnp.asarray(self._slot_objid)
         if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            obj_ids = jax.device_put(obj_ids, NamedSharding(self.mesh, P("obj")))
+            from vmap_tpu.parallel.sharding import put_sharded
+            obj_ids = put_sharded(obj_ids, self.mesh, "obj")
         t0 = time.perf_counter()
         if self.use_fused:
             self._pb_obj, self._pb_bg, metrics = self._step_fn(
@@ -487,11 +502,16 @@ class Mapper:
         separately."""
         import os
         from vmap_tpu.core import meshing
-        os.makedirs(out_dir, exist_ok=True)
+        from vmap_tpu.parallel.distributed import is_primary
         meshes = meshing.mesh_all_objects(self)
         for obj_id in sorted(self.registry):
             if self.registry[obj_id].is_bg:
                 meshes[obj_id] = self.mesh_object(obj_id)
+        if not is_primary():
+            # multi-process: every process runs the (collective) mesh
+            # evaluation, only the primary writes artifacts
+            return []
+        os.makedirs(out_dir, exist_ok=True)
         paths = []
         for obj_id in sorted(meshes):
             mesh = meshes[obj_id]

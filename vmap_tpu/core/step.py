@@ -453,7 +453,6 @@ def make_fused_step_sharded(st: StepStatics, mesh):
 
 def place_prepared(mesh, pb, axis: str | None = "obj"):
     """device_put a PreparedBank with its leading (group/slot) axis sharded
-    along ``axis`` (None = replicated)."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    s = NamedSharding(mesh, P(axis))
-    return jax.tree.map(lambda a: jax.device_put(a, s), pb)
+    along ``axis`` (None = replicated). Multi-process safe."""
+    from vmap_tpu.parallel.sharding import put_sharded
+    return jax.tree.map(lambda a: put_sharded(a, mesh, axis), pb)

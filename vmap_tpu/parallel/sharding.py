@@ -53,20 +53,33 @@ def _shard(mesh: Mesh, *spec) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
+def put_sharded(a, mesh: Mesh, *spec):
+    """device_put onto the mesh, multi-process safe: when the mesh spans
+    processes, a committed single-device source array cannot be resharded
+    directly — pull it to the (process-identical) host first. Single
+    process keeps the zero-copy device_put."""
+    sh = _shard(mesh, *spec)
+    if jax.process_count() > 1 and isinstance(a, jax.Array):
+        if a.sharding == sh:
+            return a
+        if a.is_fully_addressable or a.is_fully_replicated:
+            a = np.asarray(a)
+        # else: already a global array — let device_put reshard it
+    return jax.device_put(a, sh)
+
+
 def place_bank(mesh: Mesh, bank, axis: str | None = "obj"):
     """Shard every bank leaf along its leading (capacity) axis; pass
     axis=None to replicate (used for the 1-slot background bank)."""
-    def put(a):
-        return jax.device_put(a, _shard(mesh, axis))
-    return jax.tree.map(put, bank)
+    return jax.tree.map(lambda a: put_sharded(a, mesh, axis), bank)
 
 
 def place_replicated(mesh: Mesh, tree):
-    return jax.tree.map(lambda a: jax.device_put(a, _shard(mesh)), tree)
+    return jax.tree.map(lambda a: put_sharded(a, mesh), tree)
 
 
 def place_tables(mesh: Mesh, tab: tuple, axis: str = "obj") -> tuple:
-    return tuple(jax.device_put(a, _shard(mesh, axis)) for a in tab)
+    return tuple(put_sharded(a, mesh, axis) for a in tab)
 
 
 def place_state(mesh: Mesh, bank_obj, bank_bg, pool_arrays, obj_tab, obj_ids,
