@@ -147,6 +147,16 @@ def test_fused_fast_math_matches_xla(monkeypatch):
     test_fused_matches_xla(4, 32, 8, 120, 3, 10, 7, monkeypatch)
 
 
+def test_fused_render_packed_matches_xla(monkeypatch):
+    """Full-kernel exactness with the packed render path (VMAP_RENDER=
+    packed): stacked sigmoid / lane_sum / loss row-reduce / bcast rows —
+    elementwise-equal restacking, so results are bit-compatible."""
+    monkeypatch.setenv("VMAP_RENDER", "packed")
+    test_fused_matches_xla(4, 32, 8, 120, 3, 10, 7, monkeypatch)
+    # chunk-merged background-bank shape too
+    test_fused_matches_xla(1, 16, 2, 512, 2, 5, 2, monkeypatch)
+
+
 def test_fused_adam_block_matches_xla(monkeypatch):
     """Full-kernel exactness with the whole-block AdamW path (VMAP_ADAM=
     block): one [RW, CW] update per subgroup instead of 10 per-tensor

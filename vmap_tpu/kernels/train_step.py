@@ -363,7 +363,7 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
                  sched: str = "phase", rt: int = R_TILE,
                  shared: bool = False, fwdsplit: bool = False,
                  sincos: str = "exact", sigmoid: str = "exact",
-                 adam_block: bool = False):
+                 adam_block: bool = False, render_packed: bool = False):
     """Kernel body for one invocation: every iteration of the frame for
     ``ns`` object groups whose render sections are MERGED.
 
@@ -708,8 +708,16 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
             # per tile, and per-ray reductions/broadcasts ride the MXU via
             # lane_sum/bcast.
             sig = sigmoid_fast if sigmoid == "fast" else jax.nn.sigmoid
-            color = sig(logits)
-            occ = sig(alpha)
+            if render_packed:
+                # render_packed: fewer, fatter VPU ops — elementwise-equal
+                # rows stacked so each fixed-overhead vector op covers more
+                # data (one sigmoid/lane_sum/row-reduce instead of 2-3).
+                sg = sig(jnp.concatenate([alpha, logits], 0))   # [4OG, T]
+                occ = sg[0:OG]
+                color = sg[OG:4 * OG]
+            else:
+                color = sig(logits)
+                occ = sig(alpha)
             # 1 - occ + 1e-10 can const-fold to exactly 0 at occ == 1 under
             # some compilation paths; clamp so the cumprod backward's
             # division stays finite (the reference's intended epsilon).
@@ -721,13 +729,21 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
                 cp = cp * tile(free, s)
             cp_full = jnp.concatenate(cps, 1)                  # [OG, T]
             terms = occ * cp_full                              # [OG, T]
-            RD = lane_sum(terms * z)                           # [OG, 128]
-            RO = lane_sum(terms)
+            terms3 = rep3(terms)
+            if render_packed:
+                # one stacked lane_sum for the three independent renders
+                stk = lane_sum(jnp.concatenate(
+                    [terms * z, terms, terms3 * color], 0))    # [5OG, 128]
+                RD = stk[0:OG]
+                RO = stk[OG:2 * OG]
+                RC3 = stk[2 * OG:5 * OG]
+            else:
+                RD = lane_sum(terms * z)                       # [OG, 128]
+                RO = lane_sum(terms)
+                RC3 = lane_sum(terms3 * color)                 # [3OG, 128]
             RD_b = bcast(RD)
             var = lane_sum(terms * (z - RD_b) ** 2)
             info = 1.0 / (jnp.sqrt(var) + 1e-4)
-            terms3 = rep3(terms)
-            RC3 = lane_sum(terms3 * color)                     # [3OG, 128]
 
             pk = pk_ref[0, idx]       # [7*OG, rt]: dep | gtc(3) | mo|ms|md
             dep = pk[0:OG]
@@ -741,10 +757,21 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
             res_o = RO - mo
             res_c3 = RC3 - gtc                                 # [3OG, 128]
             mo3 = rep3(mo)
-            ld = jnp.sum(jnp.abs(res_d) * md * info, 1, keepdims=True) * w_d
             lc_obj = sum3(jnp.abs(res_c3) * mo3)           # [OG, 128]
-            lc = jnp.sum(lc_obj, 1, keepdims=True) * w_c
-            lo = jnp.sum(jnp.abs(res_o) * msm, 1, keepdims=True) * w_o
+            if render_packed:
+                # one stacked cross-lane row-reduce for the three losses
+                ls = jnp.sum(jnp.concatenate(
+                    [jnp.abs(res_d) * md * info,
+                     jnp.abs(res_o) * msm, lc_obj], 0),
+                    1, keepdims=True)                          # [3OG, 1]
+                ld = ls[0:OG] * w_d
+                lo = ls[OG:2 * OG] * w_o
+                lc = ls[2 * OG:3 * OG] * w_c
+            else:
+                ld = jnp.sum(jnp.abs(res_d) * md * info, 1,
+                             keepdims=True) * w_d
+                lc = jnp.sum(lc_obj, 1, keepdims=True) * w_c
+                lo = jnp.sum(jnp.abs(res_o) * msm, 1, keepdims=True) * w_o
             lobj = ld + cs * lc + osc * lo                     # [OG, 1]
 
             # ------------- backward to (dalpha, dlogits) -------------
@@ -754,10 +781,16 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
             dRO = jnp.sign(res_o) * msm * (w_o * osc)
             w_c3 = rep3(w_c * cs)
             dRC3 = jnp.sign(res_c3) * mo3 * w_c3               # [3OG, 128]
-            dRC3_b = bcast(dRC3)                               # [3OG, T]
-
-            dterm = (bcast(dRD) * z + bcast(dRO)
-                     + sum3(dRC3_b * color))                   # [OG, T]
+            if render_packed:
+                # one stacked bcast for all five backward row-vectors
+                b5 = bcast(jnp.concatenate([dRD, dRO, dRC3], 0))  # [5OG, T]
+                dRC3_b = b5[2 * OG:5 * OG]
+                dterm = (b5[0:OG] * z + b5[OG:2 * OG]
+                         + sum3(dRC3_b * color))               # [OG, T]
+            else:
+                dRC3_b = bcast(dRC3)                           # [3OG, T]
+                dterm = (bcast(dRD) * z + bcast(dRO)
+                         + sum3(dRC3_b * color))               # [OG, T]
             # docc_s = dterm_s*cp_s - (sum_{k>s} dterm_k*term_k)/free_s
             tt = dterm * terms
             suf = jnp.zeros((OG, rt), f32)
@@ -1358,7 +1391,9 @@ def fused_frame_prepared(pb: PreparedBank, batch: dict, n_iter: int,
                           sincos=os.environ.get("VMAP_SINCOS", "poly"),
                           sigmoid=os.environ.get("VMAP_SIGMOID", "exact"),
                           adam_block=os.environ.get("VMAP_ADAM",
-                                                    "name") == "block")
+                                                    "name") == "block",
+                          render_packed=os.environ.get("VMAP_RENDER",
+                                                       "base") == "packed")
 
     if grid_iters:
         grid = (npair, NI)
