@@ -43,11 +43,18 @@ def main():
         cx=23.5, cy=17.5, frame_pool_size=8, live_voxel_size=0.05,
         grid_dim=16, seed=0)
     cfg.mesh_axes = {"obj": 4, "data": 2}
-    cfg.fused_train_step = False      # XLA SPMD step path
+    # default: XLA SPMD step; VMAP_TEST_FUSED=1 runs the flagship fused
+    # Pallas kernel under shard_map instead (interpret-mode on CPU)
+    fused = os.environ.get("VMAP_TEST_FUSED", "0") == "1"
+    cfg.fused_train_step = fused
+    if fused:
+        cfg.max_n_models = 32         # G=4 groups: >=1 group per obj shard
     m = Mapper(cfg)
+    if fused:
+        assert m.use_fused and m._fused_sharded, "fused sharded path not on"
 
     losses = []
-    for fid in range(6):
+    for fid in range(4 if fused else 6):
         s = scene.frame_sample(fid, n_frames=6)
         out = m.process_frame(FrameSample(s["image"], s["depth"], s["obj"],
                                           s["bbox_dict"], s["T"], fid))

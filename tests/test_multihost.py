@@ -63,3 +63,23 @@ def test_two_process_loss_parity(tmp_path):
     assert (tmp_path / "mh" / "ckpt" / "latest.json").exists()
     meshes = os.listdir(tmp_path / "mh" / "mesh")
     assert any(f.endswith(".obj") for f in meshes)
+
+
+def test_two_process_fused_kernel():
+    """The FLAGSHIP path — the monolithic fused Pallas train kernel under
+    shard_map — runs multi-host: 2 processes, group axis sharded over the
+    cross-process "obj" mesh axis, identical replicated losses on both.
+    (Parity with the single-process fused run was additionally verified:
+    same losses to the printed 4 decimals; not re-run here to keep the
+    suite's single-core wall time bounded.)"""
+    port = 9738
+    env = {"VMAP_TEST_LOCAL_DEVICES": "4", "VMAP_TEST_FUSED": "1",
+           "VMAP_COORDINATOR": f"127.0.0.1:{port}",
+           "VMAP_NUM_PROCESSES": "2"}
+    p0 = _run({**env, "VMAP_PROCESS_ID": "0"})
+    p1 = _run({**env, "VMAP_PROCESS_ID": "1"})
+    r0 = _result(p0)
+    r1 = _result(p1)
+    assert r0["n_devices"] == 8 and r1["n_devices"] == 8
+    assert r0["losses"] == r1["losses"]
+    assert np.isfinite(r0["losses"]).all()
