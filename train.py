@@ -75,7 +75,8 @@ def main(argv=None):
     start_frame = 0
     if args.resume:
         start_frame = ckpt_lib.load_full_checkpoint(mapper, args.resume) + 1
-        print(f"resumed at frame {start_frame}")
+        if primary:
+            print(f"resumed at frame {start_frame}")
 
     timer = StageTimer(enabled=args.profile)
     log_path = os.path.join(args.logdir, "train_log.jsonl")
@@ -84,7 +85,12 @@ def main(argv=None):
     trace_cm = None
     if args.trace:
         from vmap_tpu.utils.profiling import device_trace
-        trace_cm = device_trace(args.trace)
+        import jax
+        trace_dir = args.trace
+        if jax.process_count() > 1:   # one trace dir per process
+            trace_dir = f"{args.trace}_p{jax.process_index()}"
+        args.trace = trace_dir
+        trace_cm = device_trace(trace_dir)
         trace_cm.__enter__()
 
     it = iter(PrefetchIterator(dataset))
@@ -117,7 +123,7 @@ def main(argv=None):
         if frame_idx % log_every == log_every - 1 or frame_idx == n_frames - 1:
             for fidx, met in pending:
                 loss = float(met.get("loss", float("nan")))
-                if loss > 1e5:
+                if loss > 1e5 and primary:
                     # the reference hard-exits here (render_rays.py:88-90);
                     # we log loudly and continue
                     print(f"WARNING: loss explosion at frame {fidx}: {loss:.3e}")
@@ -157,11 +163,13 @@ def main(argv=None):
 
     if trace_cm is not None:
         trace_cm.__exit__(None, None, None)
-        print(f"device trace written to {args.trace}")
+        if primary:
+            print(f"device trace written to {args.trace}")
     log_f.close()
-    print(f"done: {mapper.n_objects} objects, "
-          f"{mapper.frames_ingested} frames, "
-          f"{time.time() - t_start:.1f}s")
+    if primary:
+        print(f"done: {mapper.n_objects} objects, "
+              f"{mapper.frames_ingested} frames, "
+              f"{time.time() - t_start:.1f}s")
     return mapper
 
 

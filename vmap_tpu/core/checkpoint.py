@@ -159,12 +159,21 @@ def save_full_checkpoint(mapper, path: str, frame_id: int) -> str:
     import orbax.checkpoint as ocp
     os.makedirs(path, exist_ok=True)
     ckpt_dir = os.path.abspath(os.path.join(path, f"orbax_frame_{frame_id}"))
+    # Fetch the banks ONCE, before any process can return: the getters are
+    # collective in multi-process runs (all-gather of the sharded bank), so
+    # every bank access must happen while all processes are still inside
+    # this function.
+    bank_obj = mapper.bank_obj
+    bank_bg = mapper.bank_bg
     arrays = {
-        "bank_obj": dict(vars_of_bank(mapper.bank_obj)),
-        "bank_bg": (None if mapper.bank_bg is None
-                    else dict(vars_of_bank(mapper.bank_bg))),
+        "bank_obj": dict(vars_of_bank(bank_obj)),
+        "bank_bg": (None if bank_bg is None
+                    else dict(vars_of_bank(bank_bg))),
         "pool_packed": mapper.pool.packed, "pool_twc": mapper.pool.twc,
-        "key": mapper.key,
+        # as numpy: the RNG key lives on a single local device, which orbax
+        # refuses to serialize in multi-host runs (host-local jax.Array);
+        # the host value is process-identical, and orbax saves numpy fine
+        "key": np.asarray(mapper.key),
     }
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(ckpt_dir, arrays, force=True)
@@ -183,9 +192,9 @@ def save_full_checkpoint(mapper, path: str, frame_id: int) -> str:
         "pool_frame_id": mapper.pool.frame_id.tolist(),
         "pool_write_seq": mapper.pool.write_seq.tolist(),
         "pool_seq": mapper.pool._seq,
-        "bank_obj_hidden": mapper.bank_obj.spec.hidden,
-        "bank_bg_hidden": (None if mapper.bank_bg is None
-                           else mapper.bank_bg.spec.hidden),
+        "bank_obj_hidden": bank_obj.spec.hidden,
+        "bank_bg_hidden": (None if bank_bg is None
+                           else bank_bg.spec.hidden),
     }
     with open(os.path.join(ckpt_dir, "host_state.json"), "w") as f:
         json.dump(host, f)

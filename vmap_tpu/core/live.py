@@ -81,6 +81,15 @@ def run_live(
 ) -> LiveStats:
     """Continual mapping until the source closes (and one final idle period
     elapses). Returns run statistics."""
+    from vmap_tpu.parallel.distributed import is_multiprocess
+    if is_multiprocess():
+        # the live loop's wall-clock-driven cadence (idle detection, poll
+        # timing) diverges across processes, so the collective host-view
+        # gathers in export/checkpoint would deadlock — fail fast.
+        raise RuntimeError(
+            "live mode is single-process only (its wall-clock cadence "
+            "cannot be kept collective across hosts); run the batch CLI "
+            "for multi-host training")
     stats = LiveStats()
     last_frame_time = time.time()
     meshed_since_idle = False

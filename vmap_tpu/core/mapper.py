@@ -254,6 +254,9 @@ class Mapper:
         self._bank_bg = bank
 
     def _invalidate_flat_cache(self):
+        # also drop the replicated host-view copy so stale full-bank
+        # allocations are freed between meshing/checkpoint cadences
+        self._host_view_cache = {}
         if self.use_fused:
             self._bank_obj = None
             if self.cfg.do_bg:
@@ -412,6 +415,7 @@ class Mapper:
                 self._bank_obj, self._bank_bg, metrics = self._step_fn(
                     self._bank_obj, self._bank_bg, *self.pool.arrays(),
                     obj_tab, obj_ids, bg_tab, self._next_key())
+            self._invalidate_flat_cache()   # drops the stale host view
         metrics = {k: v for k, v in metrics.items()}
         metrics["step_time_s"] = time.perf_counter() - t0
         return metrics

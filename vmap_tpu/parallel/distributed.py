@@ -53,6 +53,16 @@ def is_multiprocess() -> bool:
     return jax.process_count() > 1
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _gather_fn(sharding):
+    """Jitted identity with replicated out_shardings, cached per sharding
+    so repeated host-view gathers reuse one trace/compile."""
+    return jax.jit(lambda t: t, out_shardings=sharding)
+
+
 def replicate_tree(tree, mesh):
     """All-gather every leaf of a (possibly obj-sharded) pytree to a fully
     replicated layout so the host can view it with ``np.asarray``.
@@ -61,5 +71,4 @@ def replicate_tree(tree, mesh):
     same operands (the cross-host all-gather blocks otherwise)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    sh = NamedSharding(mesh, P())
-    return jax.jit(lambda t: t, out_shardings=sh)(tree)
+    return _gather_fn(NamedSharding(mesh, P()))(tree)

@@ -89,6 +89,6 @@ def place_state(mesh: Mesh, bank_obj, bank_bg, pool_arrays, obj_tab, obj_ids,
     bank_bg = None if bank_bg is None else place_bank(mesh, bank_bg, None)
     pool_arrays = place_replicated(mesh, pool_arrays)
     obj_tab = place_tables(mesh, obj_tab, "obj")
-    obj_ids = jax.device_put(obj_ids, _shard(mesh, "obj"))
+    obj_ids = put_sharded(obj_ids, mesh, "obj")
     bg_tab = place_tables(mesh, bg_tab, None) if bg_tab is not None else None
     return bank_obj, bank_bg, pool_arrays, obj_tab, obj_ids, bg_tab
