@@ -147,6 +147,13 @@ def test_fused_fast_math_matches_xla(monkeypatch):
     test_fused_matches_xla(4, 32, 8, 120, 3, 10, 7, monkeypatch)
 
 
+def test_fused_exact_sincos_matches_xla(monkeypatch):
+    """The exact-transcendental ladder seed (VMAP_SINCOS=exact) stays
+    covered now that the default is the polynomial pair."""
+    monkeypatch.setenv("VMAP_SINCOS", "exact")
+    test_fused_matches_xla(4, 32, 8, 120, 3, 10, 7, monkeypatch)
+
+
 def test_fused_render_packed_matches_xla(monkeypatch):
     """Full-kernel exactness with the packed render path (VMAP_RENDER=
     packed): stacked sigmoid / lane_sum / loss row-reduce / bcast rows —

@@ -640,25 +640,22 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
                 [o + tile(zb, s) * d for s in range(S)], 1)     # [XP, T]
 
             proj = jnp.dot(p["dirs"], xs, preferred_element_type=f32)
-            # sin(pi*2^k*proj), k=0..5, via the double-angle ladder: two
-            # transcendentals total instead of six sins fwd + six cos bwd
-            # (transcendentals on [DG, T] dominated the kernel: bf16 matmuls
-            # measured ~0% faster -> VPU-bound). Ladder rounding grows ~2^k
-            # (<= ~32 ulp at k=5), negligible at the 1e-4 loss scale.
+            # sin(pi*2^k*proj), k=0..5, via the double-angle ladder seeded
+            # by ONE base sin/cos pair — by default the ~1e-6-exact
+            # polynomial pair (zero transcendentals; sincos="exact" uses
+            # libm-grade sin/cos instead). The per-band transcendentals
+            # this replaces dominated the kernel (bf16 matmuls measured ~0%
+            # faster -> VPU-bound). Ladder rounding grows ~2^k (<= ~32 ulp
+            # at band 5), negligible at the 1e-4 loss scale.
             if "ladder" in ablate:  # profiling: transcendental/ladder cost
                 sins = [proj * (0.1 * (k + 1)) for k in range(6)]
                 coss = [proj * (0.05 * (k + 1)) for k in range(6)]
-            elif sincos == "poly":
-                s0, c0 = sincos_pi_poly(proj)
-                sins = [s0]
-                coss = [c0]
-                for _ in range(5):
-                    s_, c_ = sins[-1], coss[-1]
-                    sins.append(2.0 * s_ * c_)
-                    coss.append(1.0 - 2.0 * s_ * s_)
             else:
-                sins = [jnp.sin(proj * _PI)]
-                coss = [jnp.cos(proj * _PI)]
+                if sincos == "poly":
+                    s0, c0 = sincos_pi_poly(proj)
+                else:
+                    s0, c0 = jnp.sin(proj * _PI), jnp.cos(proj * _PI)
+                sins, coss = [s0], [c0]
                 for _ in range(5):
                     s_, c_ = sins[-1], coss[-1]
                     sins.append(2.0 * s_ * c_)
