@@ -552,9 +552,11 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
             return jnp.concatenate(pieces, 0)
 
         if adam_block:
-            updb_wb = [place_rows(lambda n: updb[sub][n], CW, bool)
-                       for sub in range(ns)]
-            maskf_wb = [jnp.where(u, 1.0, 0.0) for u in updb_wb]
+            # concatenate in f32 (Mosaic cannot bitcast i1 vregs), then
+            # compare: the bool mask is only ever consumed by jnp.where.
+            maskf_wb = [place_rows(lambda n: maskf[sub][n], CW, f32)
+                        for sub in range(ns)]
+            updb_wb = [m > 0 for m in maskf_wb]
             oh_wb = [place_rows(lambda n: ohs[(cls(n), sub)], OG)
                      for sub in range(ns)]
 
