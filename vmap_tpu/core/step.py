@@ -285,6 +285,8 @@ def make_frame_step(st: StepStatics):
     n_per_bg = st.win_bg * st.n_px_bg
 
     if st.use_fused_frame:
+        import os
+
         from vmap_tpu.kernels.train_step import fused_frame_prepared
         bf16 = _kernel_mm_policy(st.compute_dtype)
 
@@ -294,6 +296,38 @@ def make_frame_step(st: StepStatics):
             batch = _sample_bank(k_obj, pool_packed, pool_twc,
                                  *obj_tab, obj_ids,
                                  n_frames, st.n_px, st.n_b2s, st)
+            # merged obj+bg kernel (one pallas_call per frame). Motivation:
+            # the op-granularity MXU/VPU overlap microbench measured 0.95
+            # (scripts/microbench_overlap.py). MEASURED SLOWER on v5e at
+            # slab-granularity emission (A/B same session: 15.16/16.17 ms
+            # best/median merged vs 14.18/15.67 two-kernel): the padded
+            # 260-chunk bg schedule adds ~1.3x bg work + per-chunk VPU
+            # sections and the scheduler does not interleave across the
+            # emitted slabs enough to hide it. Kept opt-in
+            # (VMAP_MERGE_BG=1), exactness-tested. f32-policy only.
+            from vmap_tpu.kernels.merged_step import (fused_frame_merged,
+                                                      merge_applicable)
+            use_merge = (st.do_bg and bf16 == "f32"
+                         and os.environ.get("VMAP_MERGE_BG", "0") == "1"
+                         and merge_applicable(
+                             pb_obj.capacity, pb_obj.G, pb_obj.spec.hidden,
+                             n_per, n_per_bg, st.n_iter))
+            if use_merge:
+                bg_ids = jnp.zeros((1,), jnp.int32)
+                batch_bg = _sample_bank(k_bg, pool_packed, pool_twc,
+                                        *bg_tab, bg_ids, n_frames_bg,
+                                        st.n_px_bg, st.n_b2s_bg, st,
+                                        px_block=st.px_block_bg)
+                pb_obj, pb_bg, losses_o, losses_b = fused_frame_merged(
+                    pb_obj, batch, pb_bg, batch_bg, st.n_iter, n_per,
+                    n_per_bg, lr=st.lr, wd=st.wd,
+                    color_scaling=st.color_scaling,
+                    opacity_scaling=st.opacity_scaling)
+                loss = losses_o[:, -1].sum() + losses_b[:, -1].sum()
+                loss_mean = (losses_o.sum(0).mean()
+                             + losses_b.sum(0).mean())
+                return pb_obj, pb_bg, {"loss": loss,
+                                       "loss_mean": loss_mean}
             pb_obj, losses_o = fused_frame_prepared(
                 pb_obj, batch, st.n_iter, n_per, lr=st.lr, wd=st.wd,
                 color_scaling=st.color_scaling,

@@ -1077,7 +1077,7 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
 
 def _prepare_batch(batch: dict, scale, active, step, n_iter: int,
                    n_per: int, G: int, ns: int = 1, rt: int = R_TILE,
-                   cm: int = 1):
+                   cm: int = 1, nc_pad: int | None = None):
     """Sampler output -> kernel operand dict.
 
     ``batch`` carries per-ray origins/dirs (world frame) and per-sample
@@ -1105,6 +1105,11 @@ def _prepare_batch(batch: dict, scale, active, step, n_iter: int,
     npair = ng // ns
     MG = ns * G                      # merged rows per invocation (<= OG)
     n_chunks = -(-n_per // rt)
+    if nc_pad is not None:
+        # pad the chunk count up with fully-masked ray chunks (state 0,
+        # valid 0 -> zero grads/losses): the merged obj+bg kernel spreads
+        # the bg iteration over exactly npair_obj chunk-slots per iteration.
+        n_chunks = max(n_chunks, nc_pad)
     assert n_chunks % cm == 0, (n_chunks, cm)
     RP = n_chunks * rt
     XP = _rup(3 * G, 8)
