@@ -103,6 +103,8 @@ def run(frames: int = 100, compute_dtype: str = "float32",
     import jax
     if os.environ.get("BENCH_RNG"):  # e.g. "rbg": TPU hardware RNG
         jax.config.update("jax_default_prng_impl", os.environ["BENCH_RNG"])
+    from vmap_tpu.utils.compcache import enable_compilation_cache
+    enable_compilation_cache()  # fused kernel ~90 s cold; pay it once
 
     step, st, (bank_obj, bank_bg, pool, obj_tab, obj_ids, bg_tab) = \
         build_workload(compute_dtype, fused)

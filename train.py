@@ -51,6 +51,9 @@ def main(argv=None):
     # one process per host, all running this same loop over the same frame
     # stream; the object bank shards over the global mesh (tpu.mesh_axes)
     # and only the primary process writes artifacts. No-op single-process.
+    from vmap_tpu.utils.compcache import enable_compilation_cache
+    enable_compilation_cache()
+
     from vmap_tpu.parallel.distributed import init_from_env, is_primary
     init_from_env()
 

@@ -210,6 +210,22 @@ class Config:
 
         c.frame_pool_size = int(g("tpu.frame_pool_size", c.frame_pool_size))
         c.compute_dtype = g("tpu.compute_dtype", c.compute_dtype)
+        if c.compute_dtype == "bfloat16":
+            # Quality study (docs/round_notes.md "Quality studies"): bf16
+            # measures within noise of f32 (the kernel is VPU-bound, and
+            # TPU f32 dots already run at bf16 single-pass rate), is WORSE
+            # at small step budgets, and bf16 transcendentals crash the
+            # Mosaic lowering (sigmoid: vector.broadcast f32->bf16
+            # verification error) — which intermittently faults the worker
+            # on long runs. Keep float32 unless you have re-validated.
+            import warnings
+            warnings.warn(
+                "tpu.compute_dtype=bfloat16 is a known-faulting, "
+                "no-benefit configuration on TPU (docs/round_notes.md, "
+                "round-2 quality studies): bf16 sigmoid crashes the Mosaic "
+                "lowering and end-to-end speed is unchanged because the "
+                "fused kernel is VPU-bound. Use float32 (default) or "
+                "bwd_bf16.", stacklevel=2)
         c.seed = int(g("tpu.seed", c.seed))
         c.mesh_axes = g("tpu.mesh_axes", c.mesh_axes)
         c.fused_train_step = g("tpu.fused_train_step", c.fused_train_step)
