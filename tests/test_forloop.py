@@ -5,6 +5,9 @@ import numpy as np
 from vmap_tpu.config import Config
 from vmap_tpu.core.mapper import FrameSample, Mapper
 from vmap_tpu.data.synthetic import SyntheticScene
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _cfg(strategy):

@@ -11,6 +11,8 @@ import pytest
 from vmap_tpu.config import Config
 from vmap_tpu.core.mapper import FrameSample, Mapper
 
+pytestmark = pytest.mark.slow
+
 
 def tiny_cfg(fused):
     c = Config()

@@ -11,6 +11,8 @@ from vmap_tpu.config import Config
 from vmap_tpu.core.mapper import FrameSample, Mapper
 from vmap_tpu.data.synthetic import SyntheticScene
 
+pytestmark = pytest.mark.slow
+
 
 def _cfg(mesh_axes):
     return Config(

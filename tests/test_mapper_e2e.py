@@ -18,6 +18,8 @@ from vmap_tpu.ops.embedding import embed
 from vmap_tpu.ops.mlp import mlp_apply
 from vmap_tpu.ops.render import occupancy_activation
 
+pytestmark = pytest.mark.slow
+
 
 def _cfg(**kw):
     base = dict(

@@ -18,6 +18,8 @@ from vmap_tpu.core.bank import activate_slot, init_bank
 from vmap_tpu.kernels.merged_step import fused_frame_merged, merge_applicable
 from vmap_tpu.kernels.train_step import prepare_bank, unprepare_bank
 
+pytestmark = pytest.mark.slow
+
 CS, OSC = 5.0, 10.0
 
 
@@ -94,3 +96,38 @@ def test_merge_applicable_gates():
     assert merge_applicable(104, 4, 32, 120, 1200, 20)      # product shape
     assert not merge_applicable(8, 4, 32, 120, 1200, 20)    # npair 1 < 10
     assert not merge_applicable(104, 4, 32, 200, 1200, 20)  # obj multichunk
+
+
+def test_merged_integration_through_fused_step(monkeypatch):
+    """ADVICE r2: the merged branch's integration (bg sampling, metrics
+    wiring, step-count update through fused_step) — one Mapper frame with
+    VMAP_MERGE_BG=1 must match the default two-kernel fused path."""
+    from vmap_tpu.core.step import make_frame_step
+    from tests.test_fused_mapper import tiny_cfg, synth_frame
+
+    def run(merge):
+        monkeypatch.setenv("VMAP_MERGE_BG", "1" if merge else "0")
+        make_frame_step.cache_clear()   # env is read at trace time
+        from vmap_tpu.core.mapper import Mapper
+        m = Mapper(tiny_cfg(True))
+        rng = np.random.default_rng(7)
+        losses = [float(m.process_frame(synth_frame(fid, 64, 48, rng))["loss"])
+                  for fid in range(2)]
+        return m, losses
+
+    try:
+        m0, l0 = run(False)
+        m1, l1 = run(True)
+    finally:
+        make_frame_step.cache_clear()   # don't leak the merged trace
+    np.testing.assert_allclose(l1, l0, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(m1.bank_obj.flat),
+                               np.asarray(m0.bank_obj.flat),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(m1.bank_bg.flat),
+                               np.asarray(m0.bank_bg.flat),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(m1.bank_obj.step),
+                                  np.asarray(m0.bank_obj.step))
+    np.testing.assert_array_equal(np.asarray(m1.bank_bg.step),
+                                  np.asarray(m0.bank_bg.step))

@@ -15,6 +15,9 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 DRIVER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "_multihost_driver.py")

@@ -17,6 +17,8 @@ from vmap_tpu.ops import losses as L
 from vmap_tpu.ops.embedding import embed
 from vmap_tpu.ops.mlp import mlp_apply
 
+pytestmark = pytest.mark.slow
+
 LR, WD, CS, OSC = 1e-3, 0.013, 5.0, 10.0
 
 

@@ -296,22 +296,25 @@ def make_frame_step(st: StepStatics):
             batch = _sample_bank(k_obj, pool_packed, pool_twc,
                                  *obj_tab, obj_ids,
                                  n_frames, st.n_px, st.n_b2s, st)
-            # merged obj+bg kernel (one pallas_call per frame). Motivation:
-            # the op-granularity MXU/VPU overlap microbench measured 0.95
-            # (scripts/microbench_overlap.py). MEASURED SLOWER on v5e at
-            # slab-granularity emission (A/B same session: 15.16/16.17 ms
-            # best/median merged vs 14.18/15.67 two-kernel): the padded
-            # 260-chunk bg schedule adds ~1.3x bg work + per-chunk VPU
-            # sections and the scheduler does not interleave across the
-            # emitted slabs enough to hide it. Kept opt-in
-            # (VMAP_MERGE_BG=1), exactness-tested. f32-policy only.
+            # merged obj+bg kernel (one pallas_call per frame): the bg
+            # instruction stream interleaves at op granularity into the
+            # object iteration's complementary phases (the 0.95 MXU/VPU
+            # overlap of scripts/microbench_overlap.py), with the bg batch
+            # double-buffer-DMA'd from HBM. v1 (slab emission + dynamic
+            # block reads) measured ~1 ms SLOWER; v2 fixes both (see
+            # kernels/merged_step.py docstring). Gated by VMAP_MERGE_BG
+            # (read at TRACE time inside this lru_cached closure — like
+            # VMAP_SINCOS/VMAP_ADAM_RSQRT, toggling it mid-process after a
+            # step with the same statics was built has no effect).
+            # f32-policy only.
             from vmap_tpu.kernels.merged_step import (fused_frame_merged,
                                                       merge_applicable)
             use_merge = (st.do_bg and bf16 == "f32"
                          and os.environ.get("VMAP_MERGE_BG", "0") == "1"
                          and merge_applicable(
                              pb_obj.capacity, pb_obj.G, pb_obj.spec.hidden,
-                             n_per, n_per_bg, st.n_iter))
+                             n_per, n_per_bg, st.n_iter,
+                             cap_b=pb_bg.capacity, G_b=pb_bg.G))
             if use_merge:
                 bg_ids = jnp.zeros((1,), jnp.int32)
                 batch_bg = _sample_bank(k_bg, pool_packed, pool_twc,

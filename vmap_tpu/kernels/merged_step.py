@@ -1,4 +1,6 @@
-"""Merged object+background train-frame kernel: ONE pallas_call per frame.
+"""Merged object+background train-frame kernel: ONE pallas_call per frame,
+with the background's instruction stream interleaved at OP granularity into
+the object iteration's complementary compute phases.
 
 Round-2 profiling (scripts/microbench_overlap.py) measured that two
 INDEPENDENT MXU/VPU dependency chains emission-interleaved inside one
@@ -6,8 +8,28 @@ Pallas body overlap almost perfectly on v5e (overlap fraction 0.95: the
 pair costs ~max(vpu, mxu), not the sum). The object bank's kernel is
 VPU-bound (render/loss/Adam/PE ladder) while the background bank's
 (hidden 128, dense [128, 128] tiles) is MXU-bound — run separately they
-serialise (~7.5 ms + ~2.4 ms); merged, the background's matmul chain hides
-under the object kernel's VPU sections.
+serialise; merged, the background's matmul chain hides under the object
+kernel's VPU sections and vice versa.
+
+v1 of this kernel (round 2) emitted the two workloads as adjacent phase
+SLABS and measured ~1 ms SLOWER than two kernels: the Mosaic/LLO scheduler
+does not hoist ops across whole foreign slabs, and the bg batch was read
+with dynamic block indices (O(block) vector selects, ~1.8 ms/frame — the
+separate bg kernel gets static grid_iters reads + Mosaic DMA pipelining).
+This v2 fixes both failure modes:
+
+  * **Op-granularity interleave.** The background chunk's computation is a
+    Python GENERATOR (``_bg_steps``) that yields after each small op group;
+    the object iteration ``pump()``s it at its phase seams, so each bg MXU
+    op group is emitted *inside* an object VPU section (render, Adam) and
+    each bg VPU group (PE ladder, render) inside an object MXU section
+    (MLP forward, backward matmuls) — the exact emission pattern the
+    overlap microbench validated.
+  * **Explicit double-buffered DMA.** The bg ray batch stays in HBM
+    (``memory_space=ANY``); each iteration prefetches the next chunk's
+    three slabs (od/z/pk, ~90 KB) into VMEM scratch with
+    ``pltpu.make_async_copy`` while the current chunk computes. No dynamic
+    block reads, no O(block) selects, and the copy hides under compute.
 
 Schedule: grid (npair_obj,) — invocation ``g`` runs object pair ``g``'s
 full ``n_iter``-iteration optimisation (exactly kernels/train_step.py),
@@ -148,7 +170,7 @@ def _make_merged_kernel(co: _Cfg, cb: _Cfg, NI: int, NCb: int,
                         lr: float, wd: float, cs: float, osc: float,
                         sincos: str, adam_rsqrt: bool):
     """Kernel body: object pair per invocation + one bg chunk per object
-    iteration. See module docstring for the schedule."""
+    iteration, bg ops pumped into the object phases. See module docstring."""
 
     def mm(w, x):
         return jnp.dot(w, x, preferred_element_type=f32)
@@ -189,15 +211,29 @@ def _make_merged_kernel(co: _Cfg, cb: _Cfg, NI: int, NCb: int,
         in_o = refs[0:6]
         in_b = refs[6:12]
         od_o, z_o, pk_o, wm_o = refs[12:16]
-        od_b, z_b, pk_b, wm_b = refs[16:20]
+        od_bh, z_bh, pk_bh, wm_b = refs[16:20]   # od/z/pk in HBM (ANY)
         out_o = refs[20:26]
         out_b = refs[26:32]
         loss_o, loss_b = refs[32], refs[33]
         gw_s, gb_s = refs[34], refs[35]
+        od_s, z_s, pk_s = refs[36], refs[37], refs[38]   # [2, ...] buffers
+        sems = refs[39]                                  # DMA sems [2, 3]
         po_w, po_b, mo_w, mo_b, vo_w, vo_b = out_o
         pb_w, pb_b, mb_w, mb_b, vb_w, vb_b = out_b
 
         g_id = pl.program_id(0)
+
+        def bg_dmas(k, slot):
+            """The three async copies moving bg chunk ``k``'s slabs from
+            HBM into double-buffer ``slot``."""
+            return (
+                pltpu.make_async_copy(od_bh.at[0, k], od_s.at[slot],
+                                      sems.at[slot, 0]),
+                pltpu.make_async_copy(z_bh.at[0, k], z_s.at[slot],
+                                      sems.at[slot, 1]),
+                pltpu.make_async_copy(pk_bh.at[0, k], pk_s.at[slot],
+                                      sems.at[slot, 2]),
+            )
 
         for dst, src in zip(out_o, in_o):
             dst[:] = src[:]
@@ -208,6 +244,10 @@ def _make_merged_kernel(co: _Cfg, cb: _Cfg, NI: int, NCb: int,
             for dst, src in zip(out_b, in_b):
                 dst[:] = src[:]
             loss_b[:] = jnp.zeros_like(loss_b)
+
+        # warm-up: start the invocation's first bg chunk copy (slot 0)
+        for d in bg_dmas(g_id * NI, 0):
+            d.start()
 
         def view(c, wref, bref, n, gg):
             kind, off, r, cl = c.loc[n]
@@ -232,10 +272,7 @@ def _make_merged_kernel(co: _Cfg, cb: _Cfg, NI: int, NCb: int,
 
         # ------------ per-bank forward / render / backward ------------
 
-        def fwd_pe(c, od_ref, z_ref, p, idx, sub):
-            o = od_ref[sub, idx, 0:c.XP]
-            d = od_ref[sub, idx, c.XP:2 * c.XP]
-            z = z_ref[0, idx]                           # [OG, T] merged
+        def fwd_pe(c, o, d, z, p, sub):
             zb = jnp.dot(zbmat(c, sub), z, preferred_element_type=f32)
             xs = jnp.concatenate(
                 [o + tile(c, zb, s) * d for s in range(c.S)], 1)
@@ -272,10 +309,11 @@ def _make_merged_kernel(co: _Cfg, cb: _Cfg, NI: int, NCb: int,
                      "h4": h4, "cact": cact}
             return alpha, logits, saved
 
-        def render_bwd(c, pk, w3, alpha, logits, z):
-            """Render + masked losses + backward to (dalpha, dlogits) on
-            merged dense rows (semantics of ops/losses.py, matching
-            /root/reference/train.py:295-306)."""
+        def render_fwd(c, pk, w3, alpha, logits, z):
+            """Render + masked losses (semantics of ops/losses.py, matching
+            /root/reference/train.py:295-306). Returns (lobj, residual
+            pack) — backward-to-(dalpha, dlogits) split out so bg ops can
+            pump between the halves."""
             color = jax.nn.sigmoid(logits)
             occ = jax.nn.sigmoid(alpha)
             free = jnp.maximum(1.0 - occ + 1e-10, 1e-10)
@@ -310,7 +348,16 @@ def _make_merged_kernel(co: _Cfg, cb: _Cfg, NI: int, NCb: int,
             lc = jnp.sum(lc_obj, 1, keepdims=True) * w_c
             lo = jnp.sum(jnp.abs(res_o) * msm, 1, keepdims=True) * w_o
             lobj = ld + cs * lc + osc * lo
+            resid = (color, occ, free, cp_full, terms, terms3,
+                     res_d, res_o, res_c3, mo3, msm, md, info,
+                     w_d, w_c, w_o)
+            return lobj, resid
 
+        def render_head_bwd(c, resid, z):
+            """Backward from the masked losses to (dalpha, dlogits)."""
+            (color, occ, free, cp_full, terms, terms3,
+             res_d, res_o, res_c3, mo3, msm, md, info,
+             w_d, w_c, w_o) = resid
             dRD = jnp.sign(res_d) * md * info * w_d
             dRO = jnp.sign(res_o) * msm * (w_o * osc)
             w_c3 = rep3(w_c * cs)
@@ -329,17 +376,32 @@ def _make_merged_kernel(co: _Cfg, cb: _Cfg, NI: int, NCb: int,
             dalpha = docc * occ * (1.0 - occ) * 10.0
             dcolor = dRC3_b * terms3
             dlogits = dcolor * color * (1.0 - color)
-            return lobj, dalpha, dlogits
+            return dalpha, dlogits
 
-        def bwd_chunk(c, p, sv, dalpha, dlogits):
+        def render_bwd(c, pk, w3, alpha, logits, z, pump=None):
+            lobj, resid = render_fwd(c, pk, w3, alpha, logits, z)
+            if pump:
+                pump()
+            da, dl = render_head_bwd(c, resid, z)
+            return lobj, da, dl
+
+        def bwd_chunk(c, p, sv, dalpha, dlogits, pump=None):
+            """Backward matmul chain; ``pump`` (if given) is called between
+            layer groups so foreign VPU ops land inside this MXU section."""
             cact, h4, h3, h2, h1 = (sv["cact"], sv["h4"], sv["h3"],
                                     sv["h2"], sv["h1"])
             emb_a, emb_b, coss, xs = (sv["emb_a"], sv["emb_b"], sv["coss"],
                                       sv["xs"])
+
+            def tick():
+                if pump:
+                    pump()
+
             g = {}
             g["w_out"] = mmT(dlogits, cact)
             g["b_out"] = jnp.sum(dlogits, 1, keepdims=True)
             dc = mTv(p["w_out"], dlogits) * (cact > 0)
+            tick()
             g["w_col_h"] = mmT(dc, h4)
             g["w_col_x"] = mmT(dc, emb_b)
             g["b_col"] = jnp.sum(dc, 1, keepdims=True)
@@ -347,20 +409,25 @@ def _make_merged_kernel(co: _Cfg, cb: _Cfg, NI: int, NCb: int,
             g["b_alpha"] = jnp.sum(dalpha, 1, keepdims=True)
             dh4 = (mTv(p["w_col_h"], dc)
                    + mTv(p["w_alpha"], dalpha)) * (h4 > 0)
+            tick()
             g["w_mid2"] = mmT(dh4, h3)
             g["b_mid2"] = jnp.sum(dh4, 1, keepdims=True)
             dh3 = mTv(p["w_mid2"], dh4) * (h3 > 0)
+            tick()
             g["w_cat_h"] = mmT(dh3, h2)
             g["w_cat_x"] = mmT(dh3, emb_a)
             g["b_cat"] = jnp.sum(dh3, 1, keepdims=True)
             dh2 = mTv(p["w_cat_h"], dh3) * (h2 > 0)
+            tick()
             g["w_mid1"] = mmT(dh2, h1)
             g["b_mid1"] = jnp.sum(dh2, 1, keepdims=True)
             dh1 = mTv(p["w_mid1"], dh2) * (h1 > 0)
+            tick()
             g["w_in"] = mmT(dh1, emb_a)
             g["b_in"] = jnp.sum(dh1, 1, keepdims=True)
             demb_a = mTv(p["w_in"], dh1) + mTv(p["w_cat_x"], dh3)
             demb_b = mTv(p["w_col_x"], dc)
+            tick()
             rowi = jax.lax.broadcasted_iota(jnp.int32, (c.DG, 1), 0)
             xsrow = (rowi % DPG) >= 21
             dproj = jnp.where(xsrow, demb_a[0:c.DG],
@@ -485,68 +552,210 @@ def _make_merged_kernel(co: _Cfg, cb: _Cfg, NI: int, NCb: int,
                 store(cb, mb_w, mb_b, n, 0, jnp.where(updb_b[n], mn, mo_))
                 store(cb, vb_w, vb_b, n, 0, jnp.where(updb_b[n], vn, vo))
 
-        # ---------------- the merged iteration ----------------
+        # ------------- the background chunk as pumpable steps -------------
 
-        def iteration(it, _):
+        def _bg_steps(it, slot):
+            """Generator: one background chunk's full compute, yielding
+            after each small op group. The object iteration pumps it at its
+            phase seams so bg MXU groups are emitted inside object VPU
+            sections and vice versa. Op order (hence numerics) is identical
+            to v1 / the standalone kernel."""
             k = g_id * NI + it          # global bg chunk counter
             bit = k // NCb              # bg iteration index
             ch = jax.lax.rem(k, NCb)    # chunk within the bg iteration
 
-            w3o = wm_o[0, it]
-            ps_o = [{n: view(co, po_w, po_b, n, sub) for n in P_NAMES}
-                    for sub in range(co.ns)]
+            # wait for this chunk's slabs (prefetched last iteration)
+            for d in bg_dmas(k, slot):
+                d.wait()
+            od = od_s[slot]
+            o_b, d_b = od[0:cb.XP], od[cb.XP:2 * cb.XP]
+            z = z_s[slot]
             p_b = {n: view(cb, pb_w, pb_b, n, 0) for n in P_NAMES}
 
-            # object forward: all PE phases (VPU), then all MLP matmul
-            # phases (MXU) — fwdsplit emission, adjacency the VLIW
-            # scheduler exploits
-            pes = [fwd_pe(co, od_o, z_o, ps_o[sub], it, sub)
-                   for sub in range(co.ns)]
-            fw = [fwd_mlp(co, ps_o[sub], pes[sub]) for sub in range(co.ns)]
+            # --- PE (VPU: xs build + ladder); 2 steps
+            zb = jnp.dot(zbmat(cb, 0), z, preferred_element_type=f32)
+            xs = jnp.concatenate(
+                [o_b + tile(cb, zb, s) * d_b for s in range(cb.S)], 1)
+            proj = jnp.dot(p_b["dirs"], xs, preferred_element_type=f32)
+            yield
+            if sincos == "poly":
+                s0, c0 = sincos_pi_poly(proj)
+            else:
+                s0, c0 = jnp.sin(proj * _PI), jnp.cos(proj * _PI)
+            sins, coss = [s0], [c0]
+            for _ in range(5):
+                s_, c_ = sins[-1], coss[-1]
+                sins.append(2.0 * s_ * c_)
+                coss.append(1.0 - 2.0 * s_ * s_)
+            rowi = jax.lax.broadcasted_iota(jnp.int32, (cb.DG, 1), 0)
+            xsrow = (rowi % DPG) >= 21
+            band0 = jnp.where(xsrow, proj, sins[0])
+            emb_a = jnp.concatenate([band0, sins[1], sins[2], sins[3]], 0)
+            emb_b = jnp.concatenate([sins[4], sins[5]], 0)
+            yield
 
-            # background forward for chunk `it` of this invocation's
-            # window: its PE ladder (VPU) sits next to the object MLP
-            # matmuls above; its dense h=128 matmul chain (MXU) sits next
-            # to the object render section below.
-            pe_b = fwd_pe(cb, od_b, z_b, p_b, it, 0)
-            fwb = fwd_mlp(cb, p_b, pe_b)
+            # --- forward matmul chain (MXU); 5 steps
+            h1 = jax.nn.relu(mm(p_b["w_in"], emb_a) + p_b["b_in"])
+            yield
+            h2 = jax.nn.relu(mm(p_b["w_mid1"], h1) + p_b["b_mid1"])
+            yield
+            h3 = jax.nn.relu(mm(p_b["w_cat_h"], h2)
+                             + mm(p_b["w_cat_x"], emb_a) + p_b["b_cat"])
+            yield
+            h4 = jax.nn.relu(mm(p_b["w_mid2"], h3) + p_b["b_mid2"])
+            yield
+            alpha = (mm(p_b["w_alpha"], h4) + p_b["b_alpha"]) * 10.0
+            cact = jax.nn.relu(mm(p_b["w_col_h"], h4)
+                               + mm(p_b["w_col_x"], emb_b) + p_b["b_col"])
+            logits = mm(p_b["w_out"], cact) + p_b["b_out"]
+            yield
 
-            # object merge + render/loss/backward-head (VPU-heavy)
-            alpha, logits = fw[0][0], fw[0][1]
-            for sub in range(1, co.ns):
-                alpha = alpha + roll_rows(fw[sub][0], sub * co.G)
-                logits = logits + roll_rows(fw[sub][1], sub * co.G)
-            lobj_o, da_o, dl_o = render_bwd(co, pk_o[0, it], w3o, alpha,
-                                            logits, z_o[0, it])
-            loss_o[0] = loss_o[0] + jnp.where(coli_og == it, lobj_o, 0.0)
-
-            # background render/loss/backward-head (small: 1/8 rows)
+            # --- render + losses + backward head (VPU); 3 steps
             w3b = wm_b[0, bit]
-            lobj_b, da_b, dl_b = render_bwd(cb, pk_b[0, it], w3b,
-                                            fwb[0], fwb[1], z_b[0, it])
+            pk = pk_s[slot]
+            lobj_b, resid = render_fwd(cb, pk, w3b, alpha, logits, z)
+            yield
             loss_b[0] = loss_b[0] + jnp.where(coli_og == bit, lobj_b, 0.0)
+            da_b, dl_b = render_head_bwd(cb, resid, z)
+            yield
 
-            # object backward (MXU) + Adam (VPU), emission-alternated per
-            # subgroup (sched=alt)
-            for sub in range(co.ns):
-                g = bwd_chunk(co, ps_o[sub], fw[sub][2],
-                              roll_rows(da_o, -sub * co.G),
-                              roll_rows(dl_o, -sub * co.G))
-                adam_obj(sub, g, w3o)
+            # --- backward matmul chain (MXU); 6 steps
+            g = {}
+            g["w_out"] = mmT(dl_b, cact)
+            g["b_out"] = jnp.sum(dl_b, 1, keepdims=True)
+            dc = mTv(p_b["w_out"], dl_b) * (cact > 0)
+            yield
+            g["w_col_h"] = mmT(dc, h4)
+            g["w_col_x"] = mmT(dc, emb_b)
+            g["b_col"] = jnp.sum(dc, 1, keepdims=True)
+            g["w_alpha"] = mmT(da_b, h4)
+            g["b_alpha"] = jnp.sum(da_b, 1, keepdims=True)
+            dh4 = (mTv(p_b["w_col_h"], dc)
+                   + mTv(p_b["w_alpha"], da_b)) * (h4 > 0)
+            yield
+            g["w_mid2"] = mmT(dh4, h3)
+            g["b_mid2"] = jnp.sum(dh4, 1, keepdims=True)
+            dh3 = mTv(p_b["w_mid2"], dh4) * (h3 > 0)
+            g["w_cat_h"] = mmT(dh3, h2)
+            g["w_cat_x"] = mmT(dh3, emb_a)
+            g["b_cat"] = jnp.sum(dh3, 1, keepdims=True)
+            yield
+            dh2 = mTv(p_b["w_cat_h"], dh3) * (h2 > 0)
+            g["w_mid1"] = mmT(dh2, h1)
+            g["b_mid1"] = jnp.sum(dh2, 1, keepdims=True)
+            dh1 = mTv(p_b["w_mid1"], dh2) * (h1 > 0)
+            yield
+            g["w_in"] = mmT(dh1, emb_a)
+            g["b_in"] = jnp.sum(dh1, 1, keepdims=True)
+            demb_a = mTv(p_b["w_in"], dh1) + mTv(p_b["w_cat_x"], dh3)
+            demb_b = mTv(p_b["w_col_x"], dc)
+            yield
+            dproj = jnp.where(xsrow, demb_a[0:cb.DG],
+                              coss[0] * _PI * demb_a[0:cb.DG])
+            for kk in range(1, 6):
+                blk = (demb_a[kk * cb.DG:(kk + 1) * cb.DG] if kk < 4
+                       else demb_b[(kk - 4) * cb.DG:(kk - 3) * cb.DG])
+                fq = _PI * np.float32(2.0 ** kk)
+                dproj = dproj + fq * coss[kk] * blk
+            g["dirs"] = mmT(dproj, xs)
+            yield
 
-            # background backward (MXU) — next to the object Adam above —
-            # then pack + accumulate into scratch (VPU)
-            gb = bwd_chunk(cb, p_b, fwb[2], da_b, dl_b)
-            gw_new = _place_rows(cb, lambda n: gb[n], cb.CW)
-            gb_new = _place_bias(cb, lambda n: gb[n])
-            first = (ch == 0)
-            gw_s[:] = jnp.where(first, gw_new, gw_s[:] + gw_new)
-            gb_s[:] = jnp.where(first, gb_new, gb_s[:] + gb_new)
+            # --- pack + accumulate grads (VPU); 2 steps. First chunk of a
+            # bg iteration STORES (never reads the uninitialised scratch);
+            # later chunks accumulate.
+            gw_new = _place_rows(cb, lambda n: g[n], cb.CW)
+            gb_new = _place_bias(cb, lambda n: g[n])
+            yield
 
+            @pl.when(ch == 0)
+            def _():
+                gw_s[:] = gw_new
+                gb_s[:] = gb_new
+
+            @pl.when(ch != 0)
+            def _():
+                gw_s[:] = gw_s[:] + gw_new
+                gb_s[:] = gb_s[:] + gb_new
+            yield
+
+            # --- masked AdamW on the last chunk of the bg iteration
             @pl.when(ch == NCb - 1)
             def _():
                 adam_bg(w3b)
 
+        # ---------------- the merged iteration ----------------
+
+        def iteration(it, _):
+            slot = jax.lax.rem(it, 2)
+
+            # prefetch next chunk's slabs into the other buffer while this
+            # iteration computes (the next invocation re-warms its own
+            # first chunk — a ~us unhidden wait, once per invocation)
+            @pl.when(it + 1 < NI)
+            def _():
+                for d in bg_dmas(g_id * NI + it + 1, 1 - slot):
+                    d.start()
+
+            bg = _bg_steps(it, slot)
+
+            def pump(n=1):
+                for _ in range(n):
+                    next(bg, None)
+
+            w3o = wm_o[0, it]
+            ps_o = [{n: view(co, po_w, po_b, n, sub) for n in P_NAMES}
+                    for sub in range(co.ns)]
+
+            # object PE phases (VPU) — bg DMA is in flight; no pumps
+            pes = [fwd_pe(co, od_o[sub, it, 0:co.XP],
+                          od_o[sub, it, co.XP:2 * co.XP],
+                          z_o[0, it], ps_o[sub], sub)
+                   for sub in range(co.ns)]
+
+            # object MLP matmul phases (MXU) <- bg PE ladder (VPU,
+            # steps 1-2). With ns == 1 both pumps follow the single phase.
+            fw = []
+            for sub in range(co.ns):
+                fw.append(fwd_mlp(co, ps_o[sub], pes[sub]))
+                pump(1 if co.ns > 1 else 2)
+
+            # object merge + render/loss/backward-head (VPU-heavy)
+            # <- bg forward matmul chain (MXU, steps 3-7) inside it
+            alpha, logits = fw[0][0], fw[0][1]
+            for sub in range(1, co.ns):
+                alpha = alpha + roll_rows(fw[sub][0], sub * co.G)
+                logits = logits + roll_rows(fw[sub][1], sub * co.G)
+            pump(2)                                        # bg h1, h2
+            lobj_o, da_o, dl_o = render_bwd(
+                co, pk_o[0, it], w3o, alpha, logits, z_o[0, it],
+                pump=lambda: pump(2))                      # bg h3, h4
+            loss_o[0] = loss_o[0] + jnp.where(coli_og == it, lobj_o, 0.0)
+            pump(1)                                        # bg heads
+
+            # object backward (MXU) + Adam (VPU), alternated per subgroup.
+            # bg's remaining steps are a fixed linear chain
+            #   render_fwd(V), head_bwd(V), 6x bwd-matmul(M), pack(V),
+            #   accumulate(V), [adam(V)]
+            # so: its two render steps pump inside the first object
+            # backward's matmul seams (V inside M), the backward-matmul
+            # steps pump inside the object Adam sections (M inside V), the
+            # pack/accumulate inside the second object backward.
+            sched = {0: [1, 0, 0, 1, 0, 0],    # bwd0: bg render steps 8-9
+                     1: [1, 0, 0, 1, 0, 0]}    # bwd1: bg pack steps
+            for sub in range(co.ns):
+                ticks = iter(sched.get(sub, [0] * 6) if co.ns > 1
+                             else [1, 1, 0, 1, 1, 0])
+                g = bwd_chunk(co, ps_o[sub], fw[sub][2],
+                              roll_rows(da_o, -sub * co.G),
+                              roll_rows(dl_o, -sub * co.G),
+                              pump=lambda: pump(next(ticks, 0)))
+                adam_obj(sub, g, w3o)
+                pump(3)                        # bg bwd matmuls under Adam
+
+            # drain whatever the pump schedule didn't reach (incl. the
+            # bg Adam step on bg-iteration boundaries)
+            for _ in bg:
+                pass
             return 0
 
         jax.lax.fori_loop(0, NI, iteration, 0)
@@ -566,7 +775,8 @@ def fused_frame_merged(pb_o: PreparedBank, batch_o: dict,
     Returns (new_pb_o, new_pb_b, losses_o [cap_o, n_iter],
     losses_b [1, n_iter]). Requirements (else use fused_frame_prepared
     per bank): object bank single-chunk (n_per_o <= 128), bg bank is one
-    G=1 slot, and ceil(n_per_b/128) <= npair_obj.
+    G=1 slot, and ceil(n_per_b/128) <= npair_obj — check with
+    ``merge_applicable`` first.
     """
     import os
     if interpret is None:
@@ -623,13 +833,12 @@ def fused_frame_merged(pb_o: PreparedBank, batch_o: dict,
         pl.BlockSpec((1, NI, 6 * OG, 1), lambda g: (g, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
+    # bg od/z/pk stay in HBM; the kernel DMAs per-chunk slabs into a VMEM
+    # double buffer (so no dynamic VMEM block reads, no big bg windows)
     batch_specs_b = [
-        pl.BlockSpec((1, NI, 2 * cb.XP, rt), lambda g: (0, g, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, NI, OG, cb.T), lambda g: (0, g, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, NI, 7 * OG, rt), lambda g: (0, g, 0, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec((1, NI, 6 * OG, 1), lambda g: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
@@ -651,7 +860,11 @@ def fused_frame_merged(pb_o: PreparedBank, batch_o: dict,
         kernel, grid=(npair,),
         in_specs=in_specs, out_specs=out_specs, out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((cb.RW, cb.CW), f32),
-                        pltpu.VMEM((cb.RB, 128), f32)],
+                        pltpu.VMEM((cb.RB, 128), f32),
+                        pltpu.VMEM((2, 2 * cb.XP, rt), f32),
+                        pltpu.VMEM((2, OG, cb.T), f32),
+                        pltpu.VMEM((2, 7 * OG, rt), f32),
+                        pltpu.SemaphoreType.DMA((2, 3))],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -672,9 +885,15 @@ def fused_frame_merged(pb_o: PreparedBank, batch_o: dict,
 
 
 def merge_applicable(cap_o: int, G: int, h: int, n_per_o: int,
-                     n_per_b: int, n_iter: int) -> bool:
-    """Whether the merged obj+bg kernel supports this configuration."""
+                     n_per_b: int, n_iter: int,
+                     cap_b: int = 1, G_b: int = 1) -> bool:
+    """Whether the merged obj+bg kernel supports this configuration.
+    ``cap_b``/``G_b`` describe the background bank — the kernel requires a
+    single G=1 bg slot (fused_frame_merged hard-asserts it, so the gate
+    must fall back gracefully for any other bg bank shape)."""
     rt = R_TILE
+    if cap_b != 1 or G_b != 1:
+        return False
     if -(-n_per_o // rt) != 1 or n_iter > rt:
         return False
     ng = cap_o // G
