@@ -53,6 +53,13 @@ def main(argv=None):
     p.add_argument("--fx", type=float, default=50.0)
     p.add_argument("--fy", type=float, default=50.0)
     p.add_argument("--invalid_pose_frames", type=int, nargs="*", default=[])
+    p.add_argument("--scene", default="synthetic",
+                   choices=["synthetic", "room"],
+                   help="'room': Replica-scale furnished room "
+                        "(data_generation/room.py)")
+    p.add_argument("--objects", type=int, default=40,
+                   help="furniture instance count for --scene room")
+    p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
     from vmap_tpu.data_generation import (MeshRenderer, RenderSettings,
@@ -61,19 +68,33 @@ def main(argv=None):
                                           write_scannet_sequence)
     from vmap_tpu.data_generation.settings import orbit_trajectory
 
-    scene, objects = synthetic_scene_objects(args.format)
-    st = RenderSettings(width=args.width, height=args.height,
-                        fx=args.fx, fy=args.fy, tri_chunk=256)
+    if args.scene == "room":
+        from vmap_tpu.data_generation.room import (make_room_scene,
+                                                   room_trajectory)
+        objs, shell, meta = make_room_scene(args.objects, seed=args.seed)
+        objects = objs + shell
+        traj = room_trajectory(args.frames, size=meta["size"],
+                               seed=args.seed)
+        st = RenderSettings(width=args.width, height=args.height,
+                            fx=args.fx, fy=args.fy, tri_chunk=512,
+                            ray_chunk=32768 if args.width * args.height
+                            > 65536 else 0)
+    else:
+        scene, objects = synthetic_scene_objects(args.format)
+        st = RenderSettings(width=args.width, height=args.height,
+                            fx=args.fx, fy=args.fy, tri_chunk=256)
+        traj = orbit_trajectory(args.frames, radius=scene.orbit_radius,
+                                height=scene.orbit_height)
     renderer = MeshRenderer(objects, st)
-    traj = orbit_trajectory(args.frames, radius=scene.orbit_radius,
-                            height=scene.orbit_height)
-    frames = list(renderer.render_trajectory(traj))
+    # stream render -> write (a frame generator): room-scale sequences
+    # (500 x 1200 x 680 x 4 maps) never fit in host RAM as a list
+    frames = renderer.render_trajectory(traj)
     if args.format == "Replica":
         write_replica_sequence(args.out_dir, frames, traj)
         write_gt_submeshes(os.path.join(args.out_dir, "habitat"),
                            objects)
     else:
-        write_scannet_sequence(args.out_dir, frames, traj,
+        write_scannet_sequence(args.out_dir, list(frames), traj,
                                invalid_pose_frames=tuple(
                                    args.invalid_pose_frames))
     print(f"wrote {args.frames} frames ({args.format}) -> {args.out_dir}")

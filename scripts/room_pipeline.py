@@ -1,0 +1,129 @@
+"""Replica-SCALE acceptance run on the procedurally furnished room.
+
+The reference's quality story is 2000-frame, ~50-object Replica rooms at
+1200 x 680 evaluated per-object and per-scene
+(/root/reference/metric/eval_3D_scene.py:36-82, eval_3D_obj.py:68-117;
+workload shape configs/Replica/config_replica_room0_vMAP.json:18-50). Real
+Replica assets don't exist in this environment, so this pipeline runs the
+same protocol end-to-end on the in-repo room generator:
+
+  1. ray-trace a furnished room (data_generation/room.py) at 1200 x 680
+     in the exact Replica vMAP layout,
+  2. train through the REAL CLI config (configs/Replica/room0_vmap.json
+     with only dataset.path / cadence fields repointed),
+  3. run the object protocol (GT-OBB/0.9 crop, bg = background-class
+     submesh concat) and the composed-scene protocol.
+
+    python scripts/room_pipeline.py [--work /tmp/vmap_room] [--frames 1000]
+        [--objects 40] [--px_block N] [--skip_generate] [--out results.json]
+
+TPU by default (generation, training and meshing all run on the chip).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--work", default="/tmp/vmap_room")
+    p.add_argument("--frames", type=int, default=1000)
+    p.add_argument("--objects", type=int, default=40)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--px_block", type=int, default=None,
+                   help="override tpu.px_block (default: config value)")
+    p.add_argument("--grid_dim", type=int, default=128)
+    p.add_argument("--n_models", type=int, default=None)
+    p.add_argument("--skip_generate", action="store_true",
+                   help="reuse an already-generated dataset in --work")
+    p.add_argument("--skip_train", action="store_true")
+    p.add_argument("--max_frames", type=int, default=None)
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+
+    data_dir = os.path.join(args.work, "data")
+    tag = f"px{args.px_block}" if args.px_block is not None else "default"
+    logdir = os.path.join(args.work, f"run_{tag}")
+    os.makedirs(args.work, exist_ok=True)
+
+    t0 = time.time()
+    if not args.skip_generate:
+        print(f"[1/3] generating {args.frames}-frame room "
+              f"({args.objects} objects, 1200x680) ...", flush=True)
+        from scripts.generate_dataset import main as gen_main
+        gen_main([data_dir, "--format", "Replica", "--scene", "room",
+                  "--objects", str(args.objects), "--seed", str(args.seed),
+                  "--frames", str(args.frames),
+                  "--width", "1200", "--height", "680",
+                  "--fx", "600.0", "--fy", "600.0"])
+        print(f"  generated in {time.time() - t0:.0f}s", flush=True)
+
+    # the shipped Replica config with only the dataset path, pool size and
+    # export cadence repointed at the generated sequence
+    with open("configs/Replica/room0_vmap.json") as f:
+        cfg = json.load(f)
+    n_frames = args.max_frames or args.frames
+    cfg["dataset"]["path"] = data_dir
+    cfg["tpu"]["frame_pool_size"] = 128
+    cfg["vis"]["n_vis_iter"] = max(n_frames - 1, 1)
+    cfg["vis"]["grid_dim"] = args.grid_dim
+    if args.px_block is not None:
+        cfg["tpu"]["px_block"] = args.px_block
+    if args.n_models is not None:
+        cfg["trainer"]["n_models"] = args.n_models
+    cfg_path = os.path.join(args.work, f"room_config_{tag}.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f, indent=1)
+
+    if not args.skip_train:
+        print(f"[2/3] training {n_frames} frames through train.py "
+              f"({cfg_path}) ...", flush=True)
+        t1 = time.time()
+        from train import main as train_main
+        train_argv = ["--config", cfg_path, "--logdir", logdir]
+        if args.max_frames:
+            train_argv += ["--max_frames", str(args.max_frames)]
+        train_main(train_argv)
+        print(f"  trained in {time.time() - t1:.0f}s", flush=True)
+
+    print("[3/3] evaluating ...", flush=True)
+    last_frame = n_frames - 1
+    mesh_dir = os.path.join(logdir, "scene_mesh")
+    gt_dir = os.path.join(data_dir, "habitat")
+    from vmap_tpu.eval.eval_3d import main as eval_main
+    obj_path = os.path.join(args.work, f"metrics_obj_{tag}.json")
+    obj_m = eval_main(["object", "--mesh_dir", mesh_dir, "--gt_dir", gt_dir,
+                       "--frame", str(last_frame), "--out", obj_path])
+
+    from vmap_tpu.geometry.mesh import Mesh, load_mesh
+    parts = [load_mesh(os.path.join(gt_dir, f))
+             for f in sorted(os.listdir(gt_dir)) if f.endswith(".ply")]
+    gt_scene_path = os.path.join(args.work, "gt_scene.obj")
+    if not os.path.exists(gt_scene_path):
+        Mesh.concatenate(parts).export(gt_scene_path)
+    scene_path = os.path.join(args.work, f"metrics_scene_{tag}.json")
+    scene_m = eval_main(["scene", "--mesh_dir", mesh_dir,
+                         "--gt_mesh", gt_scene_path,
+                         "--frame", str(last_frame), "--out", scene_path])
+
+    summary = {"tag": tag, "frames": n_frames, "objects": args.objects,
+               "grid_dim": args.grid_dim,
+               "object_mean": obj_m["mean"],
+               "bg": obj_m["per_object"].get(0),
+               "scene": scene_m,
+               "total_s": round(time.time() - t0, 1)}
+    out = args.out or os.path.join(args.work, f"room_study_{tag}.json")
+    with open(out, "w") as f:
+        json.dump(summary, f, indent=2, default=float)
+    print(json.dumps(summary, indent=2, default=float))
+
+
+if __name__ == "__main__":
+    main()

@@ -138,6 +138,8 @@ def _sample_bank(key, pool_packed, pool_twc,
 
     L = st.px_block if px_block is None else px_block
     assert n_px % L == 0 and H % L == 0, (n_px, H, L)
+    n_rays = n_frames * n_px
+    f32 = jnp.float32
 
     def sample_one(key, kf_pool, bbox_tab, n_kf1, latest2_1, obj_id):
         k_kf, k_u, k_v, k_z = jax.random.split(key, 4)
@@ -186,45 +188,65 @@ def _sample_bank(key, pool_packed, pool_twc,
             u = jnp.repeat(u_b, L, axis=1)
             v = (v_b[:, :, None] * L
                  + jnp.arange(L, dtype=jnp.int32)).reshape(n_frames, n_px)
-        w0 = g[..., 0]
-        w1 = g[..., 1]
-        rgb = jnp.stack([w0 & 255, (w0 >> 8) & 255, (w0 >> 16) & 255],
-                        axis=-1).astype(jnp.float32) / 255.0
-        depth = (w1 & 0xFFFF).astype(jnp.float32) * 1e-3  # mm -> m
+        # Layout note (round 3): everything below the gather runs on FLAT
+        # [n_rays] arrays (full 128-lane vreg density) with vec3/sample
+        # axes LEADING — the original [NF, NP(, 3|S)] layouts put 24-, 3-
+        # or 10-wide axes in the lanes and paid a 5-12x VPU density tax
+        # (the sampler was ~2.6 ms of the frame; see docs/round_notes.md).
+        g = g.reshape(n_rays, 2)
+        w0 = g[:, 0]
+        w1 = g[:, 1]
+        rgb_sm = (jnp.stack([w0 & 255, (w0 >> 8) & 255, (w0 >> 16) & 255],
+                            axis=0).astype(f32) / 255.0)       # [3, NR]
+        depth = (w1 & 0xFFFF).astype(f32) * 1e-3  # mm -> m
         inst_b = ((w1 >> 16) & 0xFFFF).astype(jnp.int32)  # biased by +1
         state = jnp.where(inst_b == obj_id + 1, S.THIS_OBJ,
                           jnp.where(inst_b == 0, S.UNKNOWN_OBJ, S.OTHER_OBJ))
 
-        dirs_c = jnp.stack([
-            (u.astype(jnp.float32) - st.cx) / st.fx,
-            (v.astype(jnp.float32) - st.cy) / st.fy,
-            jnp.ones_like(u, jnp.float32)], axis=-1)  # [NF, NP, 3]
+        # pinhole dirs per COMPONENT (vmap.py:508-524 semantics), rotated
+        # to world frame via per-keyframe rotation rows broadcast over the
+        # pixel axis — 15 multiply-adds at [NF, NP], no batched 3x3 einsum
+        dx = (u.astype(f32) - st.cx) / st.fx          # [NF, NP]
+        dy = (v.astype(f32) - st.cy) / st.fy
         twc = pool_twc[pool_ids]                      # [NF, 4, 4]
-        origins, dirs_w = R.origin_dirs_w(twc, dirs_c)
+        rot = twc[:, :3, :3]
+        dirs_sm = jnp.stack([
+            (rot[:, i, 0][:, None] * dx + rot[:, i, 1][:, None] * dy
+             + rot[:, i, 2][:, None]).reshape(n_rays)
+            for i in range(3)], axis=0)               # [3, NR]
+        org = twc[:, :3, 3]                           # [NF, 3]
+        origins_sm = jnp.stack([
+            jnp.broadcast_to(org[:, i][:, None],
+                             (n_frames, n_px)).reshape(n_rays)
+            for i in range(3)], axis=0)               # [3, NR]
 
         max_bound = jnp.max(depth)
-        z, valid = S.sample_z(k_z, depth, state, st.min_depth, max_bound,
-                              n_b2s, st.n_bins, st.surface_eps, st.stop_eps)
-        origins_px = jnp.broadcast_to(origins[:, None, :], dirs_w.shape)
-        return rgb, depth, state, valid, z, origins_px, dirs_w
+        z_sm, valid = S.sample_z_sm(k_z, depth, state, st.min_depth,
+                                    max_bound, n_b2s, st.n_bins,
+                                    st.surface_eps, st.stop_eps)  # [S, NR]
+        return rgb_sm, depth, state, valid, z_sm, origins_sm, dirs_sm
 
     if keys is None:
         keys = jax.random.split(key, cap)
-    rgb, depth, state, valid, z, origins, dirs_w = jax.vmap(sample_one)(
-        keys, kf_pool_slot, kf_bbox, n_kf, latest2, obj_ids)
-    n_rays = n_frames * n_px
-    s_total = n_b2s + st.n_bins
-    origins = origins.reshape(cap, n_rays, 3)
-    dirs_w = dirs_w.reshape(cap, n_rays, 3)
-    z = z.reshape(cap, n_rays, s_total)
+    rgb_sm, depth, state, valid, z_sm, origins_sm, dirs_sm = jax.vmap(
+        sample_one)(keys, kf_pool_slot, kf_bbox, n_kf, latest2, obj_ids)
+    # Production (fused-kernel) consumers read the *_sm channel/sample-
+    # major keys; the legacy ray-major views below serve the XLA scan path
+    # and are DCE'd under jit when unused.
+    origins = jnp.moveaxis(origins_sm, 1, -1)         # [cap, NR, 3]
+    dirs_w = jnp.moveaxis(dirs_sm, 1, -1)
+    z = jnp.moveaxis(z_sm, 1, -1)                     # [cap, NR, S]
     return {
-        "rgb": rgb.reshape(cap, n_rays, 3),
-        "depth": depth.reshape(cap, n_rays),
-        "state": state.reshape(cap, n_rays),
-        "valid": valid.reshape(cap, n_rays),
+        "rgb_sm": rgb_sm,        # [cap, 3, NR]
+        "depth": depth,          # [cap, NR]
+        "state": state,
+        "valid": valid,
+        "z_sm": z_sm,            # [cap, S, NR]
+        "origins_sm": origins_sm,
+        "dirs_sm": dirs_sm,
+        # legacy ray-major views (XLA scan path; jit DCEs when unused)
+        "rgb": jnp.moveaxis(rgb_sm, 1, -1),
         "z": z,
-        # rays for the fused kernel (builds pts = o + z*d in-VMEM); the XLA
-        # path materialises pts below — jit DCEs whichever goes unused.
         "origins": origins,
         "dirs": dirs_w,
         "pts": origins[:, :, None, :] + dirs_w[:, :, None, :] * z[..., None],
@@ -256,6 +278,12 @@ def _bank_forward(flat, spec, scale, pts, st: StepStatics):
     return alpha[..., 0], color
 
 
+def _ray_major(batch: dict) -> dict:
+    """Drop the channel/sample-major keys, keeping the legacy ray-major
+    views (axis 1 = ray) that the XLA scan path slices per iteration."""
+    return {k: v for k, v in batch.items() if not k.endswith("_sm")}
+
+
 def _slice_iter(batch: dict, it: jax.Array, n_per: int) -> dict:
     return {k: jax.lax.dynamic_slice_in_dim(v, it * n_per, n_per, axis=1)
             for k, v in batch.items()}
@@ -285,52 +313,25 @@ def make_frame_step(st: StepStatics):
     n_per_bg = st.win_bg * st.n_px_bg
 
     if st.use_fused_frame:
-        import os
-
         from vmap_tpu.kernels.train_step import fused_frame_prepared
         bf16 = _kernel_mm_policy(st.compute_dtype)
 
+        # NOTE on a deleted alternative: rounds 2-3 built (twice) a merged
+        # obj+bg kernel — ONE pallas_call interleaving both banks' streams,
+        # chasing the measured 0.95 MXU/VPU overlap of two independent
+        # chains (scripts/microbench_overlap.py). v1 (slab emission) lost
+        # ~1 ms; v2 (op-granularity generator interleave + double-buffered
+        # bg DMA) still lost ~0.8 ms: after the round-2/3 VPU cuts BOTH
+        # kernels are MXU-bound, so there is no complementary-unit slack
+        # left to hide either under the other — merging only adds the bg
+        # pad-chunk overhead. Two kernels is the right schedule here; see
+        # docs/round_notes.md ("merged obj+bg kernel", rounds 2-3).
         def fused_step(pb_obj, pb_bg, pool_packed, pool_twc,
                        obj_tab, obj_ids, bg_tab, key):
             k_obj, k_bg = jax.random.split(key)
             batch = _sample_bank(k_obj, pool_packed, pool_twc,
                                  *obj_tab, obj_ids,
                                  n_frames, st.n_px, st.n_b2s, st)
-            # merged obj+bg kernel (one pallas_call per frame): the bg
-            # instruction stream interleaves at op granularity into the
-            # object iteration's complementary phases (the 0.95 MXU/VPU
-            # overlap of scripts/microbench_overlap.py), with the bg batch
-            # double-buffer-DMA'd from HBM. v1 (slab emission + dynamic
-            # block reads) measured ~1 ms SLOWER; v2 fixes both (see
-            # kernels/merged_step.py docstring). Gated by VMAP_MERGE_BG
-            # (read at TRACE time inside this lru_cached closure — like
-            # VMAP_SINCOS/VMAP_ADAM_RSQRT, toggling it mid-process after a
-            # step with the same statics was built has no effect).
-            # f32-policy only.
-            from vmap_tpu.kernels.merged_step import (fused_frame_merged,
-                                                      merge_applicable)
-            use_merge = (st.do_bg and bf16 == "f32"
-                         and os.environ.get("VMAP_MERGE_BG", "0") == "1"
-                         and merge_applicable(
-                             pb_obj.capacity, pb_obj.G, pb_obj.spec.hidden,
-                             n_per, n_per_bg, st.n_iter,
-                             cap_b=pb_bg.capacity, G_b=pb_bg.G))
-            if use_merge:
-                bg_ids = jnp.zeros((1,), jnp.int32)
-                batch_bg = _sample_bank(k_bg, pool_packed, pool_twc,
-                                        *bg_tab, bg_ids, n_frames_bg,
-                                        st.n_px_bg, st.n_b2s_bg, st,
-                                        px_block=st.px_block_bg)
-                pb_obj, pb_bg, losses_o, losses_b = fused_frame_merged(
-                    pb_obj, batch, pb_bg, batch_bg, st.n_iter, n_per,
-                    n_per_bg, lr=st.lr, wd=st.wd,
-                    color_scaling=st.color_scaling,
-                    opacity_scaling=st.opacity_scaling)
-                loss = losses_o[:, -1].sum() + losses_b[:, -1].sum()
-                loss_mean = (losses_o.sum(0).mean()
-                             + losses_b.sum(0).mean())
-                return pb_obj, pb_bg, {"loss": loss,
-                                       "loss_mean": loss_mean}
             pb_obj, losses_o = fused_frame_prepared(
                 pb_obj, batch, st.n_iter, n_per, lr=st.lr, wd=st.wd,
                 color_scaling=st.color_scaling,
@@ -358,15 +359,15 @@ def make_frame_step(st: StepStatics):
                    pool_packed, pool_twc,
                    obj_tab, obj_ids, bg_tab, key):
         k_obj, k_bg = jax.random.split(key)
-        batch = _sample_bank(k_obj, pool_packed, pool_twc,
-                             *obj_tab, obj_ids,
-                             n_frames, st.n_px, st.n_b2s, st)
+        batch = _ray_major(_sample_bank(k_obj, pool_packed, pool_twc,
+                                        *obj_tab, obj_ids,
+                                        n_frames, st.n_px, st.n_b2s, st))
         if st.do_bg:
             bg_ids = jnp.zeros((1,), jnp.int32)  # background is instance 0
-            batch_bg = _sample_bank(k_bg, pool_packed, pool_twc,
-                                    *bg_tab, bg_ids,
-                                    n_frames_bg, st.n_px_bg, st.n_b2s_bg, st,
-                                    px_block=st.px_block_bg)
+            batch_bg = _ray_major(_sample_bank(
+                k_bg, pool_packed, pool_twc, *bg_tab, bg_ids,
+                n_frames_bg, st.n_px_bg, st.n_b2s_bg, st,
+                px_block=st.px_block_bg))
             if st.shard_data_axis:
                 from jax.sharding import PartitionSpec as P
                 batch_bg = jax.tree.map(

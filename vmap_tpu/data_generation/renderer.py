@@ -29,13 +29,20 @@ import numpy as np
 from vmap_tpu.data_generation.settings import RenderSettings, SceneObject
 
 
-@partial(jax.jit, static_argnames=("W", "H", "tri_chunk"))
+@partial(jax.jit, static_argnames=("W", "H", "tri_chunk", "ray_chunk"))
 def _trace_pose(v0, e1, e2, inst, cls, albedo, normals, t_wc,
                 fx, fy, cx, cy, light, ambient,
-                W: int, H: int, tri_chunk: int):
+                W: int, H: int, tri_chunk: int, ray_chunk: int = 0):
     """One pose against all (padded) triangles. Triangle tensors are
     [Tp, ...] with Tp a multiple of tri_chunk; padding rows are degenerate
-    (zero-area) and never hit."""
+    (zero-area) and never hit.
+
+    ``ray_chunk`` (0 = all rays at once) additionally tiles the RAY axis:
+    the [rays x tri_chunk] Möller–Trumbore intermediates are [Rc, C, 3]
+    floats, and a full-resolution frame (1200 x 680 = 816k rays) against
+    a 512-triangle chunk would materialise ~5 GB — room-scale generation
+    streams rays in 16-64k tiles instead (same compiled program for every
+    frame and scene size)."""
     f32 = jnp.float32
     u = jnp.arange(W, dtype=f32)[:, None]
     v = jnp.arange(H, dtype=f32)[None, :]
@@ -44,38 +51,50 @@ def _trace_pose(v0, e1, e2, inst, cls, albedo, normals, t_wc,
                        jnp.ones((W, H), f32)], axis=-1)
     R = t_wc[:3, :3]
     o = t_wc[:3, 3]
-    d = (d_cam @ R.T).reshape(-1, 3)                       # [Rn, 3]
-    Rn = d.shape[0]
+    d_all = (d_cam @ R.T).reshape(-1, 3)                   # [Rn, 3]
+    Rn = d_all.shape[0]
     n_chunks = v0.shape[0] // tri_chunk
 
-    def chunk(c, carry):
-        best_t, best_i = carry
-        s = c * tri_chunk
-        cv0 = jax.lax.dynamic_slice_in_dim(v0, s, tri_chunk)
-        ce1 = jax.lax.dynamic_slice_in_dim(e1, s, tri_chunk)
-        ce2 = jax.lax.dynamic_slice_in_dim(e2, s, tri_chunk)
-        # Möller–Trumbore, two-sided (no backface culling — habitat renders
-        # room interiors whose faces may point either way)
-        p = jnp.cross(d[:, None, :], ce2[None, :, :])      # [Rn, C, 3]
-        det = jnp.einsum("cj,rcj->rc", ce1, p)
-        inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-        svec = o[None, :] - cv0                            # [C, 3]
-        uu = jnp.einsum("cj,rcj->rc", svec, p) * inv
-        q = jnp.cross(svec, ce1)                           # [C, 3]
-        vv = jnp.einsum("rj,cj->rc", d, q) * inv
-        tt = jnp.einsum("cj,cj->c", ce2, q)[None, :] * inv
-        ok = ((jnp.abs(det) > 1e-12) & (uu >= 0.0) & (vv >= 0.0)
-              & (uu + vv <= 1.0) & (tt > 1e-4))
-        tt = jnp.where(ok, tt, jnp.inf)
-        ci = jnp.argmin(tt, axis=1)                        # [Rn]
-        ct = jnp.take_along_axis(tt, ci[:, None], 1)[:, 0]
-        upd = ct < best_t
-        return (jnp.where(upd, ct, best_t),
-                jnp.where(upd, s + ci, best_i))
+    def sweep(d):
+        """All triangle chunks against one ray tile ``d`` [Rc, 3]."""
+        def chunk(c, carry):
+            best_t, best_i = carry
+            s = c * tri_chunk
+            cv0 = jax.lax.dynamic_slice_in_dim(v0, s, tri_chunk)
+            ce1 = jax.lax.dynamic_slice_in_dim(e1, s, tri_chunk)
+            ce2 = jax.lax.dynamic_slice_in_dim(e2, s, tri_chunk)
+            # Möller–Trumbore, two-sided (no backface culling — habitat
+            # renders room interiors whose faces may point either way)
+            p = jnp.cross(d[:, None, :], ce2[None, :, :])  # [Rc, C, 3]
+            det = jnp.einsum("cj,rcj->rc", ce1, p)
+            inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+            svec = o[None, :] - cv0                        # [C, 3]
+            uu = jnp.einsum("cj,rcj->rc", svec, p) * inv
+            q = jnp.cross(svec, ce1)                       # [C, 3]
+            vv = jnp.einsum("rj,cj->rc", d, q) * inv
+            tt = jnp.einsum("cj,cj->c", ce2, q)[None, :] * inv
+            ok = ((jnp.abs(det) > 1e-12) & (uu >= 0.0) & (vv >= 0.0)
+                  & (uu + vv <= 1.0) & (tt > 1e-4))
+            tt = jnp.where(ok, tt, jnp.inf)
+            ci = jnp.argmin(tt, axis=1)                    # [Rc]
+            ct = jnp.take_along_axis(tt, ci[:, None], 1)[:, 0]
+            upd = ct < best_t
+            return (jnp.where(upd, ct, best_t),
+                    jnp.where(upd, s + ci, best_i))
 
-    best_t = jnp.full((Rn,), jnp.inf, f32)
-    best_i = jnp.zeros((Rn,), jnp.int32)
-    best_t, best_i = jax.lax.fori_loop(0, n_chunks, chunk, (best_t, best_i))
+        init = (jnp.full((d.shape[0],), jnp.inf, f32),
+                jnp.zeros((d.shape[0],), jnp.int32))
+        return jax.lax.fori_loop(0, n_chunks, chunk, init)
+
+    if ray_chunk and Rn > ray_chunk:
+        Rp = -(-Rn // ray_chunk) * ray_chunk
+        d_pad = jnp.pad(d_all, ((0, Rp - Rn), (0, 0)),
+                        constant_values=1.0)  # pad rays hit nothing special
+        bt, bi = jax.lax.map(sweep, d_pad.reshape(-1, ray_chunk, 3))
+        best_t, best_i = bt.reshape(-1)[:Rn], bi.reshape(-1)[:Rn]
+    else:
+        best_t, best_i = sweep(d_all)
+    d = d_all
 
     hit = jnp.isfinite(best_t)
     depth = jnp.where(hit, best_t, 0.0).reshape(W, H)
@@ -83,9 +102,13 @@ def _trace_pose(v0, e1, e2, inst, cls, albedo, normals, t_wc,
     cls_img = jnp.where(hit, cls[best_i], 0).reshape(W, H)
 
     n = normals[best_i]
-    # two-sided shading: flip the normal toward the camera
+    # two-sided shading: flip the normal toward the camera; additive
+    # ambient term (ambient + (1-ambient) * max(n.l, 0)) so walls facing
+    # away from the light keep usable dynamic range for photometric
+    # training, instead of clamping to a near-black floor
     n = n * jnp.sign(-jnp.einsum("rj,rj->r", n, d))[:, None]
-    lam = jnp.clip(jnp.einsum("rj,j->r", n, light), ambient, 1.0)
+    lam = (ambient + (1.0 - ambient)
+           * jnp.maximum(jnp.einsum("rj,j->r", n, light), 0.0))
     rgb = jnp.clip(albedo[best_i] * lam[:, None] * 255.0, 0, 255)
     rgb = jnp.where(hit[:, None], rgb, 0.0).astype(jnp.uint8)
     return rgb.reshape(W, H, 3), depth, inst_img, cls_img
@@ -134,7 +157,7 @@ class MeshRenderer:
             self._v0, self._e1, self._e2, self._inst, self._cls,
             self._albedo, self._normals, jnp.asarray(t_wc, jnp.float32),
             fx, fy, cx, cy, self._light, st.ambient,
-            st.width, st.height, st.tri_chunk)
+            st.width, st.height, st.tri_chunk, st.ray_chunk)
         return {"rgb": np.asarray(rgb), "depth": np.asarray(depth),
                 "inst": np.asarray(inst), "cls": np.asarray(cls)}
 

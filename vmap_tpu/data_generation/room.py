@@ -1,0 +1,228 @@
+"""Replica-scale synthetic room: a procedurally furnished room scene for
+the acceptance protocol the reference runs on real Replica sequences
+(2000-frame, ~50-object room0, configs/Replica/config_replica_room0_vMAP
+.json:18-50 workload shape; eval protocol metric/eval_3D_scene.py:36-82).
+
+Real Replica assets do not exist in this environment; this module builds a
+room with the same *shape* of workload — a floor/walls/ceiling shell whose
+semantic classes fold to background in the loader (data/replica.py
+BACKGROUND_CLASSES), plus dozens of furniture-like instances (box/cylinder
+/sphere composites: tables, chairs, shelves, lamps, sofas, crates) — and a
+camera walk that observes every object from many viewpoints. Rendered with
+the in-repo JAX ray tracer (renderer.py) and written in the exact Replica
+vMAP layout (writer.py), it drives the REAL CLI + eval end-to-end at
+reference scale.
+
+World convention matches data/synthetic.py: y points DOWN (up = -y),
+floor plane at y = 0, ceiling at y = -wall_h.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from vmap_tpu.data_generation.settings import SceneObject
+from vmap_tpu.geometry.mesh import Mesh
+from vmap_tpu.geometry.primitives import box, cylinder, icosphere, plane_patch
+
+# semantic classes: shell parts use Replica BACKGROUND_CLASSES members
+# (data/replica.py:28 — floor 40, wall 93, ceiling 31); furniture classes
+# are arbitrary non-background ids
+FLOOR_CLS, WALL_CLS, CEIL_CLS = 40, 93, 31
+
+
+def _aabb(mesh: Mesh) -> tuple[np.ndarray, np.ndarray]:
+    return mesh.vertices.min(0), mesh.vertices.max(0)
+
+
+# ---------------------------------------------------------------------- #
+# furniture builders: each returns a Mesh FOOTED at y=0 (sitting on the
+# floor, extending upward = -y), centred at the origin in x/z
+# ---------------------------------------------------------------------- #
+
+def _table(rng) -> Mesh:
+    w = rng.uniform(0.7, 1.4)
+    d = rng.uniform(0.5, 0.9)
+    h = rng.uniform(0.55, 0.8)
+    top = box([-w / 2, -h, -d / 2], [w / 2, -h + 0.05, d / 2])
+    legs = []
+    lx, lz = w / 2 - 0.06, d / 2 - 0.06
+    for sx in (-1, 1):
+        for sz in (-1, 1):
+            legs.append(box([sx * lx - 0.03, -h + 0.05, sz * lz - 0.03],
+                            [sx * lx + 0.03, 0.0, sz * lz + 0.03]))
+    return Mesh.concatenate([top] + legs)
+
+
+def _chair(rng) -> Mesh:
+    s = rng.uniform(0.38, 0.5)
+    seat_h = rng.uniform(0.4, 0.5)
+    seat = box([-s / 2, -seat_h, -s / 2], [s / 2, -seat_h + 0.05, s / 2])
+    back = box([-s / 2, -seat_h - 0.45, s / 2 - 0.05],
+               [s / 2, -seat_h, s / 2])
+    legs = []
+    for sx in (-1, 1):
+        for sz in (-1, 1):
+            legs.append(box([sx * (s / 2 - 0.05) - 0.02, -seat_h + 0.05,
+                             sz * (s / 2 - 0.05) - 0.02],
+                            [sx * (s / 2 - 0.05) + 0.02, 0.0,
+                             sz * (s / 2 - 0.05) + 0.02]))
+    return Mesh.concatenate([seat, back] + legs)
+
+
+def _shelf(rng) -> Mesh:
+    w = rng.uniform(0.6, 1.1)
+    d = rng.uniform(0.25, 0.4)
+    h = rng.uniform(1.0, 1.8)
+    n_sh = rng.integers(3, 5)
+    parts = [box([-w / 2, -h, -d / 2], [-w / 2 + 0.04, 0, d / 2]),
+             box([w / 2 - 0.04, -h, -d / 2], [w / 2, 0, d / 2]),
+             box([-w / 2, -h, -d / 2], [w / 2, -h + 0.04, d / 2])]
+    for k in range(n_sh):
+        y = -h * (k + 1) / (n_sh + 1)
+        parts.append(box([-w / 2, y - 0.02, -d / 2], [w / 2, y + 0.02, d / 2]))
+    return Mesh.concatenate(parts)
+
+
+def _lamp(rng) -> Mesh:
+    h = rng.uniform(1.1, 1.6)
+    pole = cylinder(0.03, h - 0.2, center=(0, -(h - 0.2) / 2, 0),
+                    segments=12)
+    base = cylinder(0.18, 0.04, center=(0, -0.02, 0), segments=16)
+    shade = cylinder(0.16, 0.24, center=(0, -(h - 0.08), 0), segments=16,
+                     capped=False)
+    return Mesh.concatenate([pole, base, shade])
+
+
+def _sofa(rng) -> Mesh:
+    w = rng.uniform(1.2, 1.9)
+    d = rng.uniform(0.7, 0.9)
+    seat = box([-w / 2, -0.42, -d / 2], [w / 2, 0, d / 2])
+    back = box([-w / 2, -0.85, d / 2 - 0.18], [w / 2, 0, d / 2])
+    arms = [box([s * w / 2 - (0.09 + 0.09 * s), -0.6, -d / 2],
+                [s * w / 2 + (0.09 - 0.09 * s), 0, d / 2])
+            for s in (-1, 1)]
+    return Mesh.concatenate([seat, back] + arms)
+
+
+def _crate(rng) -> Mesh:
+    w, d, h = rng.uniform(0.3, 0.8, 3)
+    return box([-w / 2, -h, -d / 2], [w / 2, 0, d / 2])
+
+
+def _ball(rng) -> Mesh:
+    r = rng.uniform(0.15, 0.35)
+    return icosphere(r, (0.0, -r, 0.0), subdivisions=2)
+
+
+def _drum(rng) -> Mesh:
+    r = rng.uniform(0.15, 0.35)
+    h = rng.uniform(0.3, 0.9)
+    return cylinder(r, h, center=(0, -h / 2, 0), segments=20)
+
+
+_BUILDERS = [("table", _table, 14), ("chair", _chair, 3),
+             ("shelf", _shelf, 16), ("lamp", _lamp, 47),
+             ("sofa", _sofa, 76), ("crate", _crate, 7),
+             ("ball", _ball, 20), ("drum", _drum, 36)]
+
+
+def _rot_y(mesh: Mesh, ang: float) -> Mesh:
+    c, s = np.cos(ang), np.sin(ang)
+    T = np.eye(4)
+    T[0, 0], T[0, 2], T[2, 0], T[2, 2] = c, s, -s, c
+    return mesh.apply_transform(T)
+
+
+def make_room_scene(n_objects: int = 40, seed: int = 0,
+                    size=(9.0, 6.5), wall_h: float = 2.8):
+    """Build the furnished room.
+
+    Returns (objects, shell, meta): ``objects`` are the n_objects furniture
+    SceneObjects (instance ids 1..n), ``shell`` the floor/walls/ceiling
+    SceneObjects (background classes, instance ids n+1..), ``meta`` a dict
+    with the room extents. Placement is grid-free rejection sampling on
+    footprints with a wall margin, so instances never interpenetrate.
+    """
+    rng = np.random.default_rng(seed)
+    sx, sz = float(size[0]), float(size[1])
+
+    shell_meshes = [
+        (plane_patch([0, 0, 0], [0, -1, 0], sx, sz, subdiv=4), FLOOR_CLS,
+         (0.45, 0.42, 0.38)),
+        (plane_patch([0, -wall_h, 0], [0, 1, 0], sx, sz, subdiv=2), CEIL_CLS,
+         (0.8, 0.8, 0.78)),
+        (plane_patch([-sx / 2, -wall_h / 2, 0], [1, 0, 0], wall_h, sz,
+                     subdiv=2), WALL_CLS, (0.7, 0.68, 0.6)),
+        (plane_patch([sx / 2, -wall_h / 2, 0], [-1, 0, 0], wall_h, sz,
+                     subdiv=2), WALL_CLS, (0.7, 0.68, 0.6)),
+        (plane_patch([0, -wall_h / 2, -sz / 2], [0, 0, 1], sx, wall_h,
+                     subdiv=2), WALL_CLS, (0.66, 0.68, 0.64)),
+        (plane_patch([0, -wall_h / 2, sz / 2], [0, 0, -1], sx, wall_h,
+                     subdiv=2), WALL_CLS, (0.66, 0.68, 0.64)),
+    ]
+
+    margin = 0.3
+    placed: list[tuple[float, float, float]] = []   # (x, z, radius)
+    objects = []
+    attempts = 0
+    while len(objects) < n_objects and attempts < n_objects * 500:
+        attempts += 1
+        name, build, cls = _BUILDERS[rng.integers(len(_BUILDERS))]
+        mesh = _rot_y(build(rng), rng.uniform(0, 2 * np.pi))
+        mn, mx = _aabb(mesh)
+        rad = float(max(mx[0] - mn[0], mx[2] - mn[2])) / 2 + 0.10
+        x = rng.uniform(-sx / 2 + margin + rad, sx / 2 - margin - rad)
+        z = rng.uniform(-sz / 2 + margin + rad, sz / 2 - margin - rad)
+        # keep the camera walk ellipse (0.28 x room) clear of tall objects
+        if (abs(x) < 0.33 * sx and abs(z) < 0.33 * sz
+                and (mx[1] - mn[1]) > 0.9):
+            continue
+        if any((x - px) ** 2 + (z - pz) ** 2 < (rad + pr) ** 2
+               for px, pz, pr in placed):
+            continue
+        placed.append((x, z, rad))
+        mesh.apply_translation([x, 0.0, z])
+        inst_id = len(objects) + 1
+        albedo = tuple(rng.uniform(0.25, 0.9, 3))
+        objects.append(SceneObject(mesh, instance_id=inst_id, class_id=cls,
+                                   albedo=albedo))
+
+    shell = [SceneObject(m, instance_id=n_objects + 1 + k, class_id=cls,
+                         albedo=alb)
+             for k, (m, cls, alb) in enumerate(shell_meshes)]
+    meta = {"size": (sx, sz), "wall_h": wall_h, "n_objects": len(objects)}
+    return objects, shell, meta
+
+
+def room_trajectory(n_frames: int, size=(7.0, 5.0), seed: int = 0,
+                    loops: float = 2.0) -> np.ndarray:
+    """[N, 4, 4] camera walk: the eye loops an inner ellipse at standing
+    height while the gaze sweeps around the room at an incommensurate rate
+    (plus height nodding), so every object is observed from many bearings
+    — the coverage property the reference gets from Replica's recorded
+    walkthroughs (habitat_renderer.py:150-176 replays traj_w_c.txt)."""
+    sx, sz = float(size[0]), float(size[1])
+    rng = np.random.default_rng(seed + 1)
+    ph_e, ph_t = rng.uniform(0, 2 * np.pi, 2)
+    poses = []
+    for i in range(n_frames):
+        a = 2 * np.pi * loops * i / n_frames + ph_e
+        # gaze sweeps ~3.17x per eye loop -> dense angular coverage
+        b = 2 * np.pi * loops * 3.17 * i / n_frames + ph_t
+        eye = np.array([0.28 * sx * np.sin(a),
+                        -1.45 + 0.12 * np.sin(5.3 * a),
+                        0.28 * sz * np.cos(a)])
+        target = np.array([0.40 * sx * np.sin(b),
+                           -0.9 + 0.55 * np.sin(2.7 * b + 1.1),
+                           0.40 * sz * np.cos(b)])
+        fwd = target - eye
+        fwd = fwd / np.linalg.norm(fwd)
+        world_down = np.array([0.0, 1.0, 0.0])
+        right = np.cross(world_down, fwd)
+        right /= np.linalg.norm(right)
+        down = np.cross(fwd, right)
+        T = np.eye(4, dtype=np.float64)
+        T[:3, 0], T[:3, 1], T[:3, 2], T[:3, 3] = right, down, fwd, eye
+        poses.append(T)
+    return np.stack(poses).astype(np.float64)

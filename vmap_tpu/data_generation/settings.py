@@ -48,6 +48,10 @@ class RenderSettings:
     ambient: float = 0.15
     # triangles per intersection chunk (VMEM/latency tradeoff)
     tri_chunk: int = 512
+    # rays per intersection tile (0 = whole frame at once); room-scale
+    # frames (1200 x 680) must stream rays or the [rays, tri_chunk, 3]
+    # Möller–Trumbore intermediates blow past HBM
+    ray_chunk: int = 0
 
     def intrinsics(self) -> tuple[float, float, float, float]:
         cx = (self.width - 1) / 2.0 if self.cx is None else self.cx

@@ -56,6 +56,37 @@ def box(box_min, box_max) -> Mesh:
     return Mesh(verts, np.array(faces))
 
 
+def cylinder(radius: float, height: float, center=(0.0, 0.0, 0.0),
+             axis=(0.0, 1.0, 0.0), segments: int = 24,
+             capped: bool = True) -> Mesh:
+    """Closed cylinder: ``axis`` is the length direction, ``center`` the
+    midpoint. Triangulated side quads + (optionally) fan caps."""
+    ax = np.asarray(axis, float)
+    ax = ax / np.linalg.norm(ax)
+    a = np.array([1.0, 0, 0]) if abs(ax[0]) < 0.9 else np.array([0.0, 1, 0])
+    u = np.cross(a, ax)
+    u /= np.linalg.norm(u)
+    v = np.cross(ax, u)
+    th = np.linspace(0, 2 * np.pi, segments, endpoint=False)
+    ring = radius * (np.cos(th)[:, None] * u + np.sin(th)[:, None] * v)
+    c = np.asarray(center, float)
+    bot = c - ax * (height / 2) + ring          # [S, 3]
+    top = c + ax * (height / 2) + ring
+    verts = [bot, top]
+    faces = []
+    for i in range(segments):
+        j = (i + 1) % segments
+        faces += [[i, j, segments + j], [i, segments + j, segments + i]]
+    if capped:
+        base = 2 * segments
+        verts.append((c - ax * (height / 2))[None])
+        verts.append((c + ax * (height / 2))[None])
+        for i in range(segments):
+            j = (i + 1) % segments
+            faces += [[base, j, i], [base + 1, segments + i, segments + j]]
+    return Mesh(np.concatenate(verts), np.array(faces))
+
+
 def plane_patch(center, normal, extent_u: float, extent_v: float,
                 subdiv: int = 8) -> Mesh:
     """Rectangular patch of a plane, triangulated subdiv x subdiv."""

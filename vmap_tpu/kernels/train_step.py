@@ -363,7 +363,8 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
                  sched: str = "phase", rt: int = R_TILE,
                  shared: bool = False, fwdsplit: bool = False,
                  sincos: str = "exact", sigmoid: str = "exact",
-                 adam_block: bool = False, render_packed: bool = False):
+                 adam_block: bool = False, render_packed: bool = False,
+                 zb_mode: str = "mxu"):
     """Kernel body for one invocation: every iteration of the frame for
     ``ns`` object groups whose render sections are MERGED.
 
@@ -637,7 +638,21 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
             d = od_ref[sub, idx, XP:2 * XP]
             z = z_ref[0, idx]                                  # [OG, T] merged
 
-            zb = jnp.dot(zbmats[sub], z, preferred_element_type=f32)
+            if zb_mode == "vpu":
+                # z row sub*G+g replicated into xs rows 3g..3g+2 with a
+                # sublane broadcast+reshape instead of a [XP, OG] matmul —
+                # frees ~10 MXU passes per subgroup-chunk in a kernel that
+                # is otherwise MXU-bound (xs pad rows are annihilated by
+                # the structurally-zero dirs columns, so their value is
+                # free; zeros keep them exact).
+                z_sub = z[sub * G:(sub + 1) * G]
+                zb = jnp.broadcast_to(z_sub[:, None, :],
+                                      (G, 3, T)).reshape(3 * G, T)
+                if XP > 3 * G:
+                    zb = jnp.concatenate(
+                        [zb, jnp.zeros((XP - 3 * G, T), f32)], 0)
+            else:
+                zb = jnp.dot(zbmats[sub], z, preferred_element_type=f32)
             xs = jnp.concatenate(
                 [o + tile(zb, s) * d for s in range(S)], 1)     # [XP, T]
 
@@ -1098,7 +1113,13 @@ def _prepare_batch(batch: dict, scale, active, step, n_iter: int,
     weights/normalisers are per-object constants)."""
     f32 = jnp.float32
     cap = batch["depth"].shape[0]
-    S = batch["z"].shape[-1]
+    if "z_sm" not in batch:   # legacy ray-major batch (tests, ad-hoc use)
+        batch = dict(batch)
+        batch["z_sm"] = jnp.moveaxis(batch["z"], -1, 1)
+        batch["rgb_sm"] = jnp.moveaxis(batch["rgb"], -1, 1)
+        batch["origins_sm"] = jnp.moveaxis(batch["origins"], -1, 1)
+        batch["dirs_sm"] = jnp.moveaxis(batch["dirs"], -1, 1)
+    S = batch["z_sm"].shape[1]
     ng = cap // G
     assert ng % ns == 0, (ng, ns)
     assert ns == 1 or cm == 1, (ns, cm)
@@ -1115,10 +1136,12 @@ def _prepare_batch(batch: dict, scale, active, step, n_iter: int,
     XP = _rup(3 * G, 8)
     active_f = active.astype(f32)
 
-    def pad_rays(a):
-        a = a.reshape(cap, n_iter, n_per, *a.shape[2:])
-        pad = [(0, 0), (0, 0), (0, RP - n_per)] + [(0, 0)] * (a.ndim - 3)
-        return jnp.pad(a, pad)
+    def pad_rays_sm(a):
+        """Channel/sample-major per-ray array [cap, C, NR] ->
+        [cap, C, n_iter, RP] (ray axis stays MINOR throughout — none of
+        the layout transposes below move the lane dimension)."""
+        a = a.reshape(cap, -1, n_iter, n_per)
+        return jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, RP - n_per)))
 
     state = batch["state"].reshape(cap, n_iter, n_per)
     valid = batch["valid"].reshape(cap, n_iter, n_per)
@@ -1154,8 +1177,6 @@ def _prepare_batch(batch: dict, scale, active, step, n_iter: int,
     wmul = wmul.reshape(npair, n_iter, 6 * OG, 1)
 
     inv_s = (1.0 / scale)[:, None, None].astype(f32)
-    origins = batch["origins"].astype(f32) * inv_s
-    dirs = batch["dirs"].astype(f32) * inv_s
 
     # One transpose chain per DEVICE LAYOUT instead of one per logical
     # operand: the round-1 layout ran 8 independent pad/reshape/transpose
@@ -1163,34 +1184,37 @@ def _prepare_batch(batch: dict, scale, active, step, n_iter: int,
     # scalars into one [7*OG, rt] row-block (k*OG + merged-row, k = dep,
     # r, g, b, mask_obj, mask_sem, mask_depth) and o/d into one
     # [2*XP, rt] block turns that into 3 chains moving the same bytes.
-    od = jnp.concatenate([origins[..., None, :], dirs[..., None, :]],
-                         axis=-2)            # [cap, NR, 2, 3]
-    od = pad_rays(od)                        # [cap, NI, RP, 2, 3]
+    # Round 3: the sampler emits channel/sample-major arrays, so every
+    # transpose below permutes MAJOR axes only — the ray (lane) dimension
+    # never moves, which is the cheap direction for TPU relayouts.
+    od = jnp.concatenate([batch["origins_sm"], batch["dirs_sm"]],
+                         axis=1).astype(f32) * inv_s    # [cap, 6, NR]
+    od = pad_rays_sm(od)                     # [cap, 6, NI, RP]
     pkc = jnp.concatenate([
-        batch["depth"].astype(f32)[..., None],
-        batch["rgb"].astype(f32),
-        mask_obj.reshape(cap, -1)[..., None],
-        mask_sem.reshape(cap, -1)[..., None],
-        m_do.reshape(cap, -1)[..., None],
-    ], axis=-1)                              # [cap, NR, 7]
-    pkc = pad_rays(pkc)                      # [cap, NI, RP, 7]
-    zp = pad_rays(batch["z"])                # [cap, NI, RP, S]
+        batch["depth"].astype(f32)[:, None],
+        batch["rgb_sm"].astype(f32),
+        mask_obj.reshape(cap, 1, -1),
+        mask_sem.reshape(cap, 1, -1),
+        m_do.reshape(cap, 1, -1),
+    ], axis=1)                               # [cap, 7, NR]
+    pkc = pad_rays_sm(pkc)                   # [cap, 7, NI, RP]
+    zp = pad_rays_sm(batch["z_sm"])          # [cap, S, NI, RP]
 
     if cm == 1:
-        od = od.reshape(ng, G, n_iter, n_chunks, rt, 2, 3)
-        od = od.transpose(0, 2, 3, 5, 1, 6, 4)   # ng,NI,NC,2,G,3,rt
+        od = od.reshape(ng, G, 2, 3, n_iter, n_chunks, rt)
+        od = od.transpose(0, 4, 5, 2, 1, 3, 6)   # ng,NI,NC,2,G,3,rt
         od = od.reshape(ng, n_iter, n_chunks, 2, 3 * G, rt)
         od = jnp.pad(od, ((0, 0),) * 4 + ((0, XP - 3 * G), (0, 0)))
         od = od.reshape(ng, n_iter * n_chunks, 2 * XP, rt)
 
-        z = zp.reshape(npair, MG, n_iter, n_chunks, rt, S)
-        z = z.transpose(0, 2, 3, 1, 5, 4)        # np,NI,NC,MG,S,rt
+        z = zp.reshape(npair, MG, S, n_iter, n_chunks, rt)
+        z = z.transpose(0, 3, 4, 1, 2, 5)        # np,NI,NC,MG,S,rt
         z = z.reshape(npair, n_iter, n_chunks, MG, S * rt)
         z = jnp.pad(z, ((0, 0),) * 3 + ((0, OG - MG), (0, 0)))
         z = z.reshape(npair, n_iter * n_chunks, OG, S * rt)
 
-        pk = pkc.reshape(npair, MG, n_iter, n_chunks, rt, 7)
-        pk = pk.transpose(0, 2, 3, 5, 1, 4)      # np,NI,NC,7,MG,rt
+        pk = pkc.reshape(npair, MG, 7, n_iter, n_chunks, rt)
+        pk = pk.transpose(0, 3, 4, 2, 1, 5)      # np,NI,NC,7,MG,rt
         pk = jnp.pad(pk, ((0, 0),) * 4 + ((0, OG - MG), (0, 0)))
         pk = pk.reshape(npair, n_iter * n_chunks, 7 * OG, rt)
         nc_out = n_chunks
@@ -1199,20 +1223,20 @@ def _prepare_batch(batch: dict, scale, active, step, n_iter: int,
         # of the same object; the per-merge chunk index r rides the
         # LEADING (subgroup) axis of od, exactly like ns-subgroups do.
         NM = n_chunks // cm
-        od = od.reshape(ng, n_iter, NM, cm, rt, 2, 3)
-        od = od.transpose(0, 3, 1, 2, 5, 6, 4)   # ng,cm,NI,NM,2,3,rt
+        od = od.reshape(ng, 2, 3, n_iter, NM, cm, rt)
+        od = od.transpose(0, 5, 3, 4, 1, 2, 6)   # ng,cm,NI,NM,2,3,rt
         od = od.reshape(ng, cm, n_iter, NM, 2, 3, rt)
         od = jnp.pad(od, ((0, 0),) * 4 + ((0, 0), (0, XP - 3), (0, 0)))
         od = od.reshape(ng * cm, n_iter * NM, 2 * XP, rt)
 
-        z = zp.reshape(ng, n_iter, NM, cm, rt, S)
-        z = z.transpose(0, 1, 2, 3, 5, 4)        # ng,NI,NM,cm,S,rt
+        z = zp.reshape(ng, S, n_iter, NM, cm, rt)
+        z = z.transpose(0, 2, 3, 4, 1, 5)        # ng,NI,NM,cm,S,rt
         z = z.reshape(ng, n_iter, NM, cm, S * rt)
         z = jnp.pad(z, ((0, 0),) * 3 + ((0, OG - cm), (0, 0)))
         z = z.reshape(ng, n_iter * NM, OG, S * rt)
 
-        pk = pkc.reshape(ng, n_iter, NM, cm, rt, 7)
-        pk = pk.transpose(0, 1, 2, 5, 3, 4)      # ng,NI,NM,7,cm,rt
+        pk = pkc.reshape(ng, 7, n_iter, NM, cm, rt)
+        pk = pk.transpose(0, 2, 3, 1, 4, 5)      # ng,NI,NM,7,cm,rt
         pk = jnp.pad(pk, ((0, 0),) * 4 + ((0, OG - cm), (0, 0)))
         pk = pk.reshape(ng, n_iter * NM, 7 * OG, rt)
         nc_out = NM
@@ -1355,7 +1379,8 @@ def fused_frame_prepared(pb: PreparedBank, batch: dict, n_iter: int,
     f32 = jnp.float32
 
     loc, RW, CW, RB = packed_layout(G, h)
-    rt = pick_rt(G, h, ng, n_per, batch["z"].shape[-1])
+    rt = pick_rt(G, h, ng, n_per, batch["z_sm"].shape[1]
+                 if "z_sm" in batch else batch["z"].shape[-1])
     ns = pick_ns(G, h, ng, n_per, rt)
     cm = pick_cm(G, ng, -(-n_per // rt)) if ns == 1 else 1
     b = _prepare_batch(batch, pb.scale, pb.active, pb.step, n_iter, n_per,
@@ -1397,7 +1422,11 @@ def fused_frame_prepared(pb: PreparedBank, batch: dict, n_iter: int,
                           adam_block=os.environ.get("VMAP_ADAM",
                                                     "name") == "block",
                           render_packed=os.environ.get("VMAP_RENDER",
-                                                       "base") == "packed")
+                                                       "base") == "packed",
+                          # z-row replication via sublane broadcast instead
+                          # of a [XP, OG] matmul: 7.95 -> 7.59 ms obj kernel
+                          # on v5e (the kernel is MXU-bound; round-3 A/B)
+                          zb_mode=os.environ.get("VMAP_ZB", "vpu"))
 
     if grid_iters:
         grid = (npair, NI)
