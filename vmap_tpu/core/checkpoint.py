@@ -174,6 +174,12 @@ def save_full_checkpoint(mapper, path: str, frame_id: int) -> str:
         # refuses to serialize in multi-host runs (host-local jax.Array);
         # the host value is process-identical, and orbax saves numpy fine
         "key": np.asarray(mapper.key),
+        # the unconsumed tail of the pre-split key block (mapper._next_key
+        # splits 1024 keys per device dispatch): saving it keeps resumed
+        # training EXACTLY on the uninterrupted run's RNG stream
+        "key_block": (np.asarray(mapper._key_block, np.uint32)
+                      if mapper._key_block
+                      else np.zeros((0, 2), np.uint32)),
     }
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(ckpt_dir, arrays, force=True)
@@ -245,6 +251,9 @@ def load_full_checkpoint_orbax(mapper, ckpt_dir: str) -> int:
     mapper.pool.packed = arrays["pool_packed"]
     mapper.pool.twc = arrays["pool_twc"]
     mapper.key = arrays["key"]
+    kb = arrays.get("key_block")   # absent in pre-round-3 checkpoints
+    mapper._key_block = ([] if kb is None
+                         else list(np.asarray(kb, np.uint32)))
     mapper.pool.refcount = host["pool_refcount"]
     mapper.pool.frame_id = host["pool_frame_id"]
     mapper.pool.write_seq = host["pool_write_seq"]
@@ -289,4 +298,9 @@ def load_full_checkpoint(mapper, file: str) -> int:
     mapper._next_slot = state["next_slot"]
     mapper.frames_ingested = state["frames_ingested"]
     mapper.key = jnp.asarray(state["key"])
+    # legacy checkpoints predate the pre-split key block; restart the block
+    # from the restored key (stream differs from an uninterrupted legacy
+    # run, as this loader's format always did across versions)
+    mapper._key_block = list(np.asarray(state["key_block"], np.uint32)) \
+        if "key_block" in state else []
     return int(state["frame_id"])

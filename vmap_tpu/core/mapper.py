@@ -84,6 +84,7 @@ class Mapper:
         key = jax.random.PRNGKey(cfg.seed)
         key, k_obj, k_bg = jax.random.split(key, 3)
         self.key = key
+        self._key_block: list = []   # host-side pre-split key cache
         self._bank_obj = bank_lib.init_bank(k_obj, self.slots, self.hidden,
                                             default_scale=cfg.obj_scale)
         self._bank_bg = (bank_lib.init_bank(k_bg, 1, self.hidden_bg,
@@ -262,9 +263,22 @@ class Mapper:
             if self.cfg.do_bg:
                 self._bank_bg = None
 
-    def _next_key(self) -> jax.Array:
-        self.key, k = jax.random.split(self.key)
-        return k
+    def _next_key(self):
+        """Next per-frame PRNG key, as a HOST (numpy) uint32[2] array.
+
+        ``jax.random.split`` per frame is a separate device dispatch — on
+        the tunneled backend that is ~0.8 ms/frame of pure latency in the
+        hot loop. Splitting 1024 keys at a time and handing out host
+        copies keeps the per-frame cost to an 8-byte transfer inside the
+        train dispatch itself (numpy uint32[2] is a valid threefry key).
+        The stream is the same split-tree as before, consumed in blocks.
+        """
+        if not self._key_block:
+            keys = jax.random.split(self.key, 1025)
+            self.key = keys[0]
+            import numpy as np
+            self._key_block = list(np.asarray(keys[1:]))
+        return self._key_block.pop()
 
     def _register_object(self, obj_id: int, frame_id: int) -> ObjectRecord | None:
         is_bg = self.cfg.do_bg and obj_id == 0

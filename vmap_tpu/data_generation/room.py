@@ -213,8 +213,12 @@ def room_trajectory(n_frames: int, size=(7.0, 5.0), seed: int = 0,
         eye = np.array([0.28 * sx * np.sin(a),
                         -1.45 + 0.12 * np.sin(5.3 * a),
                         0.28 * sz * np.cos(a)])
+        # gaze height sweeps the full room: floor grazing (-0.1) to
+        # ceiling (-2.6) — without the high band the background field is
+        # unconstrained at the ceiling and hallucinates geometry there
+        # (first room run: bg accuracy 0.72 m; see docs/room_study notes)
         target = np.array([0.40 * sx * np.sin(b),
-                           -0.9 + 0.55 * np.sin(2.7 * b + 1.1),
+                           -1.35 + 1.25 * np.sin(2.7 * b + 1.1),
                            0.40 * sz * np.cos(b)])
         fwd = target - eye
         fwd = fwd / np.linalg.norm(fwd)
