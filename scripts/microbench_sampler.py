@@ -132,7 +132,10 @@ def main():
         bb = _sample_bank(jax.random.fold_in(key, 1), pool_packed, pool_twc,
                           *bg_tab, jnp.zeros((1,), jnp.int32),
                           n_frames_bg, st.n_px_bg, st.n_b2s_bg, st)
-        del b["pts"], bb["pts"]
+        b = {k: v for k, v in b.items()
+             if k.endswith("_sm") or k in ("depth", "state", "valid")}
+        bb = {k: v for k, v in bb.items()
+              if k.endswith("_sm") or k in ("depth", "state", "valid")}
         return b, bb
 
     names = sys.argv[1:] or ["rng_only", "gather", "decode", "rays",

@@ -62,7 +62,11 @@ def main():
         bg_ids = jnp.zeros((1,), jnp.int32)
         bb = _sample_bank(k2, *pool, *bg_tab, bg_ids,
                           n_frames_bg, st.n_px_bg, st.n_b2s_bg, st)
-        del b["pts"], bb["pts"]   # fused path never materialises points
+        b = {k: v for k, v in b.items()
+             if k.endswith("_sm") or k in ("depth", "state", "valid")}
+        bb = {k: v for k, v in bb.items()
+              if k.endswith("_sm") or k in ("depth", "state", "valid")}
+        # fused path consumes only the sample/channel-major keys
         return b, bb
 
     ms, (batch, batch_bg) = timed(sample_both, key)

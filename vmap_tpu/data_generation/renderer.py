@@ -73,8 +73,12 @@ def _trace_pose(v0, e1, e2, inst, cls, albedo, normals, t_wc,
             q = jnp.cross(svec, ce1)                       # [C, 3]
             vv = jnp.einsum("rj,cj->rc", d, q) * inv
             tt = jnp.einsum("cj,cj->c", ce2, q)[None, :] * inv
-            ok = ((jnp.abs(det) > 1e-12) & (uu >= 0.0) & (vv >= 0.0)
-                  & (uu + vv <= 1.0) & (tt > 1e-4))
+            # tiny barycentric slack: rays crossing exactly on a shared
+            # triangle edge can fail both neighbours' bounds by one ulp
+            # (~0.2% speckled misses on large flat patches otherwise)
+            eps_b = 1e-5
+            ok = ((jnp.abs(det) > 1e-12) & (uu >= -eps_b) & (vv >= -eps_b)
+                  & (uu + vv <= 1.0 + eps_b) & (tt > 1e-4))
             tt = jnp.where(ok, tt, jnp.inf)
             ci = jnp.argmin(tt, axis=1)                    # [Rc]
             ct = jnp.take_along_axis(tt, ci[:, None], 1)[:, 0]

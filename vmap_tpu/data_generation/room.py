@@ -23,7 +23,7 @@ import numpy as np
 
 from vmap_tpu.data_generation.settings import SceneObject
 from vmap_tpu.geometry.mesh import Mesh
-from vmap_tpu.geometry.primitives import box, cylinder, icosphere, plane_patch
+from vmap_tpu.geometry.primitives import box, cylinder, icosphere
 
 # semantic classes: shell parts use Replica BACKGROUND_CLASSES members
 # (data/replica.py:28 — floor 40, wall 93, ceiling 31); furniture classes
@@ -33,6 +33,28 @@ FLOOR_CLS, WALL_CLS, CEIL_CLS = 40, 93, 31
 
 def _aabb(mesh: Mesh) -> tuple[np.ndarray, np.ndarray]:
     return mesh.vertices.min(0), mesh.vertices.max(0)
+
+
+def _rect(center, du, eu: float, dv, ev: float, subdiv: int = 2) -> Mesh:
+    """Rectangle patch with EXPLICIT in-plane axes: spans ±eu/2 along unit
+    vector ``du`` and ±ev/2 along ``dv``. (plane_patch derives its in-plane
+    frame from the normal, which does NOT put extent_u on the axis you
+    might expect — the first room build shipped walls rotated 90 degrees
+    and a floor with swapped extents, leaving the shell full of holes.)"""
+    du = np.asarray(du, float)
+    dv = np.asarray(dv, float)
+    us = np.linspace(-eu / 2, eu / 2, subdiv + 1)
+    vs = np.linspace(-ev / 2, ev / 2, subdiv + 1)
+    verts = np.asarray(center, float) + (
+        us[:, None, None] * du + vs[None, :, None] * dv).reshape(-1, 3)
+    faces = []
+    for i in range(subdiv):
+        for j in range(subdiv):
+            a00 = i * (subdiv + 1) + j
+            a01 = a00 + 1
+            a10 = a00 + (subdiv + 1)
+            faces += [[a00, a10, a11 := a10 + 1], [a00, a11, a01]]
+    return Mesh(verts, np.array(faces))
 
 
 # ---------------------------------------------------------------------- #
@@ -147,19 +169,20 @@ def make_room_scene(n_objects: int = 40, seed: int = 0,
     rng = np.random.default_rng(seed)
     sx, sz = float(size[0]), float(size[1])
 
+    X, Y, Z = (1, 0, 0), (0, 1, 0), (0, 0, 1)
     shell_meshes = [
-        (plane_patch([0, 0, 0], [0, -1, 0], sx, sz, subdiv=4), FLOOR_CLS,
+        (_rect([0, 0, 0], X, sx, Z, sz, subdiv=4), FLOOR_CLS,
          (0.45, 0.42, 0.38)),
-        (plane_patch([0, -wall_h, 0], [0, 1, 0], sx, sz, subdiv=2), CEIL_CLS,
+        (_rect([0, -wall_h, 0], X, sx, Z, sz, subdiv=2), CEIL_CLS,
          (0.8, 0.8, 0.78)),
-        (plane_patch([-sx / 2, -wall_h / 2, 0], [1, 0, 0], wall_h, sz,
-                     subdiv=2), WALL_CLS, (0.7, 0.68, 0.6)),
-        (plane_patch([sx / 2, -wall_h / 2, 0], [-1, 0, 0], wall_h, sz,
-                     subdiv=2), WALL_CLS, (0.7, 0.68, 0.6)),
-        (plane_patch([0, -wall_h / 2, -sz / 2], [0, 0, 1], sx, wall_h,
-                     subdiv=2), WALL_CLS, (0.66, 0.68, 0.64)),
-        (plane_patch([0, -wall_h / 2, sz / 2], [0, 0, -1], sx, wall_h,
-                     subdiv=2), WALL_CLS, (0.66, 0.68, 0.64)),
+        (_rect([-sx / 2, -wall_h / 2, 0], Y, wall_h, Z, sz, subdiv=2),
+         WALL_CLS, (0.7, 0.68, 0.6)),
+        (_rect([sx / 2, -wall_h / 2, 0], Y, wall_h, Z, sz, subdiv=2),
+         WALL_CLS, (0.7, 0.68, 0.6)),
+        (_rect([0, -wall_h / 2, -sz / 2], X, sx, Y, wall_h, subdiv=2),
+         WALL_CLS, (0.66, 0.68, 0.64)),
+        (_rect([0, -wall_h / 2, sz / 2], X, sx, Y, wall_h, subdiv=2),
+         WALL_CLS, (0.66, 0.68, 0.64)),
     ]
 
     margin = 0.3

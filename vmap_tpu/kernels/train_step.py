@@ -364,7 +364,7 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
                  shared: bool = False, fwdsplit: bool = False,
                  sincos: str = "exact", sigmoid: str = "exact",
                  adam_block: bool = False, render_packed: bool = False,
-                 zb_mode: str = "mxu"):
+                 zb_mode: str = "mxu", alias: bool = False):
     """Kernel body for one invocation: every iteration of the frame for
     ``ns`` object groups whose render sections are MERGED.
 
@@ -441,8 +441,12 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
         pout_w, pout_b, mout_w, mout_b, vout_w, vout_b = state_out
 
         def init_state():
-            for dst, src in zip(state_out, state_in):
-                dst[:] = src[:]
+            # with input_output_aliases the output state blocks ARE the
+            # (donated) input blocks — no copy-in needed, and XLA drops
+            # the defensive buffer copies it otherwise emits per frame
+            if not alias:
+                for dst, src in zip(state_out, state_in):
+                    dst[:] = src[:]
             loss_ref[:] = jnp.zeros_like(loss_ref)
 
         if not grid_iters:
@@ -1426,7 +1430,8 @@ def fused_frame_prepared(pb: PreparedBank, batch: dict, n_iter: int,
                           # z-row replication via sublane broadcast instead
                           # of a [XP, OG] matmul: 7.95 -> 7.59 ms obj kernel
                           # on v5e (the kernel is MXU-bound; round-3 A/B)
-                          zb_mode=os.environ.get("VMAP_ZB", "vpu"))
+                          zb_mode=os.environ.get("VMAP_ZB", "vpu"),
+                          alias=os.environ.get("VMAP_ALIAS", "0") == "1")
 
     if grid_iters:
         grid = (npair, NI)
@@ -1473,10 +1478,12 @@ def fused_frame_prepared(pb: PreparedBank, batch: dict, n_iter: int,
     out_shape = state_shapes * 3 + [jax.ShapeDtypeStruct((npair, OG, rt),
                                                          f32)]
 
+    alias = os.environ.get("VMAP_ALIAS", "0") == "1"
     outs = pl.pallas_call(
         kernel, grid=grid,
         in_specs=in_specs, out_specs=out_specs, out_shape=out_shape,
         interpret=interpret,
+        input_output_aliases=({i: i for i in range(6)} if alias else {}),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",) * len(grid),
             # params+moments x6 + a group's full-frame ray blocks exceed the
