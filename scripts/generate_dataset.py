@@ -78,7 +78,9 @@ def main(argv=None):
         st = RenderSettings(width=args.width, height=args.height,
                             fx=args.fx, fy=args.fy, tri_chunk=512,
                             ray_chunk=32768 if args.width * args.height
-                            > 65536 else 0)
+                            > 65536 else 0,
+                            bary_eps=1e-5)   # close shared-edge speckle
+                                             # holes on the big shell faces
     else:
         scene, objects = synthetic_scene_objects(args.format)
         st = RenderSettings(width=args.width, height=args.height,

@@ -32,7 +32,8 @@ from vmap_tpu.data_generation.settings import RenderSettings, SceneObject
 @partial(jax.jit, static_argnames=("W", "H", "tri_chunk", "ray_chunk"))
 def _trace_pose(v0, e1, e2, inst, cls, albedo, normals, t_wc,
                 fx, fy, cx, cy, light, ambient,
-                W: int, H: int, tri_chunk: int, ray_chunk: int = 0):
+                W: int, H: int, tri_chunk: int, ray_chunk: int = 0,
+                bary_eps: float = 0.0):
     """One pose against all (padded) triangles. Triangle tensors are
     [Tp, ...] with Tp a multiple of tri_chunk; padding rows are degenerate
     (zero-area) and never hit.
@@ -73,12 +74,13 @@ def _trace_pose(v0, e1, e2, inst, cls, albedo, normals, t_wc,
             q = jnp.cross(svec, ce1)                       # [C, 3]
             vv = jnp.einsum("rj,cj->rc", d, q) * inv
             tt = jnp.einsum("cj,cj->c", ce2, q)[None, :] * inv
-            # tiny barycentric slack: rays crossing exactly on a shared
-            # triangle edge can fail both neighbours' bounds by one ulp
-            # (~0.2% speckled misses on large flat patches otherwise)
-            eps_b = 1e-5
-            ok = ((jnp.abs(det) > 1e-12) & (uu >= -eps_b) & (vv >= -eps_b)
-                  & (uu + vv <= 1.0 + eps_b) & (tt > 1e-4))
+            # optional barycentric slack (RenderSettings.bary_eps): rays
+            # crossing exactly on a shared triangle edge can fail BOTH
+            # neighbours' bounds by one ulp (~0.2% speckled misses on
+            # large flat patches); 0 keeps silhouettes exact
+            ok = ((jnp.abs(det) > 1e-12) & (uu >= -bary_eps)
+                  & (vv >= -bary_eps) & (uu + vv <= 1.0 + bary_eps)
+                  & (tt > 1e-4))
             tt = jnp.where(ok, tt, jnp.inf)
             ci = jnp.argmin(tt, axis=1)                    # [Rc]
             ct = jnp.take_along_axis(tt, ci[:, None], 1)[:, 0]
@@ -161,7 +163,7 @@ class MeshRenderer:
             self._v0, self._e1, self._e2, self._inst, self._cls,
             self._albedo, self._normals, jnp.asarray(t_wc, jnp.float32),
             fx, fy, cx, cy, self._light, st.ambient,
-            st.width, st.height, st.tri_chunk, st.ray_chunk)
+            st.width, st.height, st.tri_chunk, st.ray_chunk, st.bary_eps)
         return {"rgb": np.asarray(rgb), "depth": np.asarray(depth),
                 "inst": np.asarray(inst), "cls": np.asarray(cls)}
 

@@ -52,6 +52,10 @@ class RenderSettings:
     # frames (1200 x 680) must stream rays or the [rays, tri_chunk, 3]
     # Möller–Trumbore intermediates blow past HBM
     ray_chunk: int = 0
+    # barycentric slack: rays crossing exactly on a shared triangle edge
+    # can miss BOTH neighbours (speckle holes on large coplanar patches,
+    # e.g. room shells); 0 keeps object silhouettes pixel-exact
+    bary_eps: float = 0.0
 
     def intrinsics(self) -> tuple[float, float, float, float]:
         cx = (self.width - 1) / 2.0 if self.cx is None else self.cx
