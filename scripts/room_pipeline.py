@@ -39,6 +39,8 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--px_block", type=int, default=None,
                    help="override tpu.px_block (default: config value)")
+    p.add_argument("--px_block_bg", type=int, default=None,
+                   help="override tpu.px_block_bg")
     p.add_argument("--grid_dim", type=int, default=128)
     p.add_argument("--n_models", type=int, default=None)
     p.add_argument("--skip_generate", action="store_true",
@@ -50,6 +52,8 @@ def main(argv=None):
 
     data_dir = os.path.join(args.work, "data")
     tag = f"px{args.px_block}" if args.px_block is not None else "default"
+    if args.px_block_bg is not None:
+        tag += f"_bg{args.px_block_bg}"
     logdir = os.path.join(args.work, f"run_{tag}")
     os.makedirs(args.work, exist_ok=True)
 
@@ -79,6 +83,8 @@ def main(argv=None):
     cfg["vis"]["grid_dim"] = args.grid_dim
     if args.px_block is not None:
         cfg["tpu"]["px_block"] = args.px_block
+    if args.px_block_bg is not None:
+        cfg["tpu"]["px_block_bg"] = args.px_block_bg
     if args.n_models is not None:
         cfg["trainer"]["n_models"] = args.n_models
     cfg_path = os.path.join(args.work, f"room_config_{tag}.json")
