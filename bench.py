@@ -39,7 +39,7 @@ import numpy as np
 def build_workload(compute_dtype: str = "float32", fused: bool = True,
                    px_block: int = int(os.environ.get("BENCH_PX_BLOCK", "4")),
                    px_block_bg: int = int(os.environ.get("BENCH_PX_BLOCK_BG",
-                                                         "1"))):
+                                                         "4"))):
     import jax
     import jax.numpy as jnp
     from vmap_tpu.core.bank import activate_slot, init_bank
