@@ -96,7 +96,7 @@ def main(argv=None):
         write_gt_submeshes(os.path.join(args.out_dir, "habitat"),
                            objects)
     else:
-        write_scannet_sequence(args.out_dir, list(frames), traj,
+        write_scannet_sequence(args.out_dir, frames, traj,
                                invalid_pose_frames=tuple(
                                    args.invalid_pose_frames))
     print(f"wrote {args.frames} frames ({args.format}) -> {args.out_dir}")

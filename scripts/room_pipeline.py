@@ -114,9 +114,11 @@ def main(argv=None):
     from vmap_tpu.geometry.mesh import Mesh, load_mesh
     parts = [load_mesh(os.path.join(gt_dir, f))
              for f in sorted(os.listdir(gt_dir)) if f.endswith(".ply")]
+    # rebuilt every run (seconds of work): caching by existence alone went
+    # stale when the dataset was regenerated with a different --objects or
+    # --seed into the same --work dir
     gt_scene_path = os.path.join(args.work, "gt_scene.obj")
-    if not os.path.exists(gt_scene_path):
-        Mesh.concatenate(parts).export(gt_scene_path)
+    Mesh.concatenate(parts).export(gt_scene_path)
     scene_path = os.path.join(args.work, f"metrics_scene_{tag}.json")
     scene_m = eval_main(["scene", "--mesh_dir", mesh_dir,
                          "--gt_mesh", gt_scene_path,

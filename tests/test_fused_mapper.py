@@ -69,14 +69,16 @@ def test_fused_mapper_matches_xla():
     # that flips the sign of a full AdamW micro-step (update magnitude
     # ~= lr = 1e-3 regardless of gradient size). Over the 6 Adam steps of
     # this run a handful of params (<0.1%) may accumulate a few flipped
-    # steps, so the bound is 4 lr-steps; the strict parity check is the
-    # loss comparison above (rtol 5e-4).
-    np.testing.assert_allclose(np.asarray(m_f.bank_obj.flat),
-                               np.asarray(m_x.bank_obj.flat),
-                               rtol=1e-2, atol=4e-3)
-    np.testing.assert_allclose(np.asarray(m_f.bank_bg.flat),
-                               np.asarray(m_x.bank_bg.flat),
-                               rtol=1e-2, atol=4e-3)
+    # steps. Bound BOTH regimes: the bulk must agree to 6e-4 (sub-lr), the
+    # sign-flip outliers must be rare (measured ~0.13% on this run; bound
+    # 0.3%) and never exceed 4 lr-steps.
+    for f_bank, x_bank in ((m_f.bank_obj, m_x.bank_obj),
+                           (m_f.bank_bg, m_x.bank_bg)):
+        diff = np.abs(np.asarray(f_bank.flat) - np.asarray(x_bank.flat))
+        tol = 6e-4 + 1e-2 * np.abs(np.asarray(x_bank.flat))
+        outlier_frac = float((diff > tol).mean())
+        assert outlier_frac < 3e-3, outlier_frac
+        assert float(diff.max()) < 4e-3, float(diff.max())
     np.testing.assert_array_equal(np.asarray(m_f.bank_obj.active),
                                   np.asarray(m_x.bank_obj.active))
     np.testing.assert_array_equal(np.asarray(m_f.bank_obj.step),

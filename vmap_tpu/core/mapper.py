@@ -271,7 +271,13 @@ class Mapper:
         hot loop. Splitting 1024 keys at a time and handing out host
         copies keeps the per-frame cost to an 8-byte transfer inside the
         train dispatch itself (numpy uint32[2] is a valid threefry key).
-        The stream is the same split-tree as before, consumed in blocks.
+
+        NOTE: this block-split stream (split(key, 1025), handed out from
+        the end of each block) is a DIFFERENT split-tree than the
+        pre-round-3 sequential ``split(key)`` chain — seeded runs are
+        reproducible against this build, not against older ones. The
+        unconsumed block tail is checkpointed so resume stays on the
+        uninterrupted stream.
         """
         if not self._key_block:
             keys = jax.random.split(self.key, 1025)
