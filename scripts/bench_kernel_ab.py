@@ -77,8 +77,9 @@ def main():
         envs = dict(kv.split("=") for kv in spec.split(","))
         for k, v in envs.items():
             os.environ[k] = v
+        policy = os.environ.get("VMAP_POLICY", "f32")  # f32|bf16|int8|...
         fn = jax.jit(lambda pb, b: fused_frame_prepared(
-            pb, b, st.n_iter, n_per, lr=st.lr, wd=st.wd, bf16=False)[1])
+            pb, b, st.n_iter, n_per, lr=st.lr, wd=st.wd, bf16=policy)[1])
         t0 = time.time()
         ms = timed(fn, pb, batch)
         print(f"{spec}: {ms:.2f} ms (compile+run0 {time.time()-t0:.0f}s)")

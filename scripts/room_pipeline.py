@@ -41,6 +41,10 @@ def main(argv=None):
                    help="override tpu.px_block (default: config value)")
     p.add_argument("--px_block_bg", type=int, default=None,
                    help="override tpu.px_block_bg")
+    p.add_argument("--compute_dtype", default=None,
+                   help="override tpu.compute_dtype (e.g. int8)")
+    p.add_argument("--train_seed", type=int, default=None,
+                   help="override tpu.seed (repeat-run variance studies)")
     p.add_argument("--grid_dim", type=int, default=128)
     p.add_argument("--n_models", type=int, default=None)
     p.add_argument("--skip_generate", action="store_true",
@@ -54,6 +58,10 @@ def main(argv=None):
     tag = f"px{args.px_block}" if args.px_block is not None else "default"
     if args.px_block_bg is not None:
         tag += f"_bg{args.px_block_bg}"
+    if args.compute_dtype is not None:
+        tag += f"_{args.compute_dtype}"
+    if args.train_seed is not None:
+        tag += f"_seed{args.train_seed}"
     logdir = os.path.join(args.work, f"run_{tag}")
     os.makedirs(args.work, exist_ok=True)
 
@@ -87,6 +95,10 @@ def main(argv=None):
         cfg["tpu"]["px_block_bg"] = args.px_block_bg
     if args.n_models is not None:
         cfg["trainer"]["n_models"] = args.n_models
+    if args.compute_dtype is not None:
+        cfg["tpu"]["compute_dtype"] = args.compute_dtype
+    if args.train_seed is not None:
+        cfg["tpu"]["seed"] = args.train_seed
     cfg_path = os.path.join(args.work, f"room_config_{tag}.json")
     with open(cfg_path, "w") as f:
         json.dump(cfg, f, indent=1)

@@ -1,0 +1,101 @@
+"""Quantised (int8) fused-kernel policy tests.
+
+The int8 policy is NOT bit-exact by construction — every MLP matmul operand
+is dynamically quantised to s8 (kernels/train_step.py, policy "int8").
+These tests pin what CAN be guaranteed:
+
+  * the quantised forward/backward stays CLOSE to the f32 kernel (losses
+    within quantisation tolerance, parameters within a few lr-steps),
+  * training under the policy still CONVERGES (loss falls like f32's),
+  * inactive slots stay bit-identical (the masking is quant-independent),
+  * the "int8_fwd" half-policy (f32 backward) sits between f32 and int8.
+
+Accelerator-side speed/quality is measured separately (bench.py int8 mode,
+scripts/room_pipeline.py --compute_dtype int8 quality study).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.test_train_kernel import LR, WD, CS, OSC, make_batch, ref_frame
+from vmap_tpu.core.bank import activate_slot, init_bank
+from vmap_tpu.kernels.train_step import fused_bank_frame
+
+pytestmark = pytest.mark.slow
+
+
+def _bank(key, cap, h, n_active):
+    bank = init_bank(key, cap, hidden=h)
+    for s in range(n_active):
+        bank = activate_slot(bank, s, jax.random.fold_in(key, s),
+                             2.0 + 0.5 * s, hidden=h)
+    return bank.replace(
+        flat=bank.flat * 0.3,
+        step=jnp.where(bank.active, 3, 0).astype(jnp.int32),
+    )
+
+
+@pytest.mark.parametrize("policy", ["int8", "int8_fwd"])
+@pytest.mark.parametrize("G,h,cap,n_per,n_iter,S,n_active", [
+    (4, 32, 8, 120, 3, 10, 7),    # object-bank shape (ns=2 render merge)
+    (1, 16, 2, 200, 2, 5, 2),     # background-like (chunk-merge cm=2)
+])
+def test_int8_close_to_f32(policy, G, h, cap, n_per, n_iter, S, n_active):
+    key = jax.random.PRNGKey(0)
+    bank = _bank(key, cap, h, n_active)
+    batch = make_batch(jax.random.fold_in(key, 7), cap, n_iter * n_per, S)
+
+    f_bank, f_losses = fused_bank_frame(
+        bank, batch, n_iter, n_per, G, lr=LR, wd=WD, color_scaling=CS,
+        opacity_scaling=OSC, bf16=False, interpret=True)
+    q_bank, q_losses = fused_bank_frame(
+        bank, batch, n_iter, n_per, G, lr=LR, wd=WD, color_scaling=CS,
+        opacity_scaling=OSC, bf16=policy, interpret=True)
+
+    f_l, q_l = np.asarray(f_losses), np.asarray(q_losses)
+    assert np.all(np.isfinite(q_l))
+    act = np.asarray(bank.active)
+    # per-slot losses within quantisation tolerance of the f32 kernel
+    np.testing.assert_allclose(q_l[act], f_l[act], rtol=0.08, atol=1e-3)
+    # parameters move like the f32 kernel's (within a few lr-steps: the
+    # quantised gradients land in the same AdamW normalisation)
+    diff = np.abs(np.asarray(q_bank.flat) - np.asarray(f_bank.flat))
+    assert np.all(np.isfinite(np.asarray(q_bank.flat)))
+    assert float(diff.max()) < 6 * LR * n_iter, float(diff.max())
+    # inactive slots bit-identical to their inputs
+    inact = ~act
+    np.testing.assert_array_equal(
+        np.asarray(q_bank.flat)[inact], np.asarray(bank.flat)[inact])
+
+
+def test_int8_converges_like_f32():
+    """Multi-frame optimisation under int8 reduces the loss comparably to
+    f32 — the go/no-go for gradient-operand quantisation (VERDICT r3 #1)."""
+    G, h, cap, n_per, n_iter, S = 4, 32, 4, 96, 4, 6
+    key = jax.random.PRNGKey(1)
+    bank_f = _bank(key, cap, h, cap)
+    bank_q = bank_f
+    first = {}
+    last = {}
+    for frame in range(6):
+        batch = make_batch(jax.random.fold_in(key, 100 + frame),
+                           cap, n_iter * n_per, S)
+        bank_f, lf = fused_bank_frame(
+            bank_f, batch, n_iter, n_per, G, lr=3e-3, wd=WD,
+            color_scaling=CS, opacity_scaling=OSC, bf16=False,
+            interpret=True)
+        bank_q, lq = fused_bank_frame(
+            bank_q, batch, n_iter, n_per, G, lr=3e-3, wd=WD,
+            color_scaling=CS, opacity_scaling=OSC, bf16="int8",
+            interpret=True)
+        if frame == 0:
+            first = {"f": float(np.asarray(lf).sum()),
+                     "q": float(np.asarray(lq).sum())}
+        last = {"f": float(np.asarray(lf).sum()),
+                "q": float(np.asarray(lq).sum())}
+    assert last["f"] < first["f"], (first, last)   # sanity: f32 learns
+    assert last["q"] < first["q"], (first, last)   # int8 learns too
+    # and lands within 15% of the f32 end-point loss
+    assert abs(last["q"] - last["f"]) < 0.15 * abs(last["f"]), (first, last)

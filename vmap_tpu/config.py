@@ -110,7 +110,9 @@ class Config:
     # TPU-specific (new)
     frame_pool_size: int = 64
     compute_dtype: str = "float32"   # or "bfloat16" (all matmuls) /
-    # "bwd_bf16" (f32 forward, bf16 backward matmuls in the fused kernel)
+    # "bwd_bf16" (f32 forward, bf16 backward matmuls in the fused kernel) /
+    # "int8" (dynamically quantised s8 MLP matmul operands in the fused
+    # kernel, 2x MXU pass rate) / "int8_fwd" (quantised forward only)
     seed: int = 0
     mesh_axes: dict = field(default_factory=dict)  # e.g. {"obj": 4, "data": 2}
     # monolithic fused Pallas train-frame kernel: "auto" enables it on TPU

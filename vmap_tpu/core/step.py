@@ -101,10 +101,13 @@ def _kernel_mm_policy(compute_dtype: str) -> str:
     """StepStatics.compute_dtype -> fused-kernel matmul dtype policy.
     "float32" -> all-f32; "bfloat16" -> all-bf16 operands (f32 accumulate);
     "bwd_bf16" -> f32 forward, bf16 backward matmuls (quality-neutral:
-    gradient rounding is absorbed by AdamW's second-moment normalisation).
+    gradient rounding is absorbed by AdamW's second-moment normalisation);
+    "int8" -> all MLP matmul operands dynamically quantised to s8 with s32
+    accumulate (2x MXU pass rate on v5e; render/loss/Adam/PE stay f32);
+    "int8_fwd" -> quantised forward only (diagnostic half-policy).
     """
-    return {"float32": "f32", "bfloat16": "bf16",
-            "bwd_bf16": "bwd_bf16"}[compute_dtype]
+    return {"float32": "f32", "bfloat16": "bf16", "bwd_bf16": "bwd_bf16",
+            "int8": "int8", "int8_fwd": "int8_fwd"}[compute_dtype]
 
 
 def pick_group(capacity: int, hidden: int) -> int:

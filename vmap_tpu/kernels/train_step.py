@@ -344,14 +344,18 @@ def sincos_pi_poly(p):
 
 def _mm_policy(bf16) -> str:
     """Normalise the matmul dtype policy: False/"f32" (all f32),
-    True/"bf16" (all matmuls bf16 operands, f32 accumulate), or
+    True/"bf16" (all matmuls bf16 operands, f32 accumulate),
     "bwd_bf16" (forward f32; backward weight/activation-grad matmuls
-    bf16 — gradient noise the masked AdamW normalises away)."""
+    bf16 — gradient noise the masked AdamW normalises away),
+    "int8" (all MLP matmul operands dynamically quantised to s8, s32
+    accumulate — 2x MXU pass rate on v5e; render/loss/Adam/PE stay f32),
+    or "int8_fwd" (forward quantised, backward f32 — the diagnostic
+    half-policy for isolating gradient-quantisation quality effects)."""
     if bf16 is True:
         return "bf16"
     if bf16 is False:
         return "f32"
-    assert bf16 in ("f32", "bf16", "bwd_bf16"), bf16
+    assert bf16 in ("f32", "bf16", "bwd_bf16", "int8", "int8_fwd"), bf16
     return bf16
 
 
@@ -402,6 +406,11 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
     # bdt: backward matmul operand dtype.
     cdt = jnp.bfloat16 if policy == "bf16" else f32
     bdt = jnp.bfloat16 if policy in ("bf16", "bwd_bf16") else f32
+    # int8 policies: forward / backward MLP matmul operands dynamically
+    # quantised to s8 (s32 accumulate, 2x MXU pass rate on v5e). PE maths,
+    # render/loss, Adam and the dirs-projection matmuls stay f32.
+    q8f = policy in ("int8", "int8_fwd")
+    q8b = policy == "int8"
     NP = len(P_NAMES)
     NC = n_chunks
     shapes = group_layout(G, h)
@@ -475,6 +484,75 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
         rowi = jax.lax.broadcasted_iota(jnp.int32, (DG, 1), 0)
         xsrow = (rowi % DPG) >= 21
         coli_og = jax.lax.broadcasted_iota(jnp.int32, (OG, rt), 1)
+
+        # ---- int8 dynamic quantisation (policy "int8"/"int8_fwd") ----
+        # One SYMMETRIC PER-TENSOR scale per matmul operand. This is exact
+        # scale algebra for this kernel: weights are block-diagonal
+        # (structural zeros quantise to 0), so a scalar factors out of both
+        # matmul orientations, and the per-output-block rescale collapses
+        # to one multiplier on the f32-cast s32 accumulator. Embedding sin
+        # rows are bounded [-1, 1] and use a STATIC x127 row scale folded
+        # into the weight quantisation (no reduce on the critical path);
+        # band-0 xs pass-through rows get x(127/XS_RANGE) with saturation.
+        i8 = jnp.int8
+        i32 = jnp.int32
+        XS_RANGE = 4.0
+        if q8f:
+            EA = 4 * DG
+            eri = jax.lax.broadcasted_iota(jnp.int32, (EA, 1), 0)
+            is_xs0 = (eri < DG) & (eri % DPG >= 21)     # band-0 xs rows
+            ma_col = jnp.where(is_xs0, 127.0 / XS_RANGE, 127.0)   # [EA, 1]
+            inv_ma_row = (1.0 / ma_col).reshape(1, EA)            # [1, EA]
+
+        def quant_dyn(x):
+            """f32 -> (s8, scale): round-to-nearest symmetric per-tensor."""
+            s = jnp.max(jnp.abs(x)) * (1.0 / 127.0) + 1e-30
+            xq = jnp.round(x * (1.0 / s)).astype(i8)
+            return xq, s
+
+        def quant_relu(y):
+            """relu fused with quantisation (forward activations).
+            Returns (s8 activation, scale, f32 relu output)."""
+            r = jnp.maximum(y, 0.0)
+            xq, s = quant_dyn(r)
+            return xq, s, r
+
+        def quant_emb(e, m):
+            """Static-row-scale embedding quantisation (saturating)."""
+            return jnp.round(jnp.clip(e * m, -127.0, 127.0)).astype(i8)
+
+        def mmq(aq, bq, s):
+            return jnp.dot(aq, bq, preferred_element_type=i32
+                           ).astype(f32) * s
+
+        def mmTq(aq, bq, s):    # [m,T] x [k,T] -> [m,k], contract T
+            return jax.lax.dot_general(
+                aq, bq, (((1,), (1,)), ((), ())),
+                preferred_element_type=i32).astype(f32) * s
+
+        def mTvq(wq, dyq, s):   # [m,k] x [m,T] -> [k,T], contract m
+            return jax.lax.dot_general(
+                wq, dyq, (((0,), (0,)), ((), ())),
+                preferred_element_type=i32).astype(f32) * s
+
+        QW_NAMES = ("w_in", "w_mid1", "w_cat_h", "w_cat_x", "w_mid2",
+                    "w_alpha", "w_col_h", "w_col_x", "w_out")
+
+        def quant_weights(p):
+            """Quantise one subgroup's matmul weights (once per iteration —
+            they only change at the AdamW at the iteration's end). The
+            embedding-facing weights absorb the static emb row scales into
+            their columns, so ``mmq(wq, embq, s_w)`` needs no emb scale and
+            the emb quantisation itself is reduce-free."""
+            qw = {}
+            for n in QW_NAMES:
+                w = p[n]
+                if n in ("w_in", "w_cat_x"):
+                    w = w * inv_ma_row
+                elif n == "w_col_x":
+                    w = w * (1.0 / 127.0)
+                qw[n] = quant_dyn(w)
+            return qw
 
         def _roll_rows(x, k: int):
             """Sublane roll by k rows (merged-row <-> subgroup-row shift)."""
@@ -685,14 +763,52 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
             # pass-through in band 0; JUNK in bands 1..5 and emb_b — their
             # weight columns are structurally zero, so no masking needed).
             band0 = jnp.where(xsrow, proj, sins[0])
-            emb_a = jnp.concatenate([band0, sins[1], sins[2], sins[3]],
-                                    0).astype(cdt)
-            emb_b = jnp.concatenate([sins[4], sins[5]], 0).astype(cdt)
-            return xs, coss, emb_a, emb_b
+            emb_a = jnp.concatenate([band0, sins[1], sins[2], sins[3]], 0)
+            emb_b = jnp.concatenate([sins[4], sins[5]], 0)
+            if q8f:
+                # (quantised, f32) pairs; the f32 copy is kept only for the
+                # "int8_fwd" half-policy whose backward runs in f32
+                ea32 = None if q8b else emb_a
+                eb32 = None if q8b else emb_b
+                return (xs, coss, (quant_emb(emb_a, ma_col), ea32),
+                        (quant_emb(emb_b, 127.0), eb32))
+            return xs, coss, emb_a.astype(cdt), emb_b.astype(cdt)
 
-        def fwd_mlp(p, pe_out):
+        def fwd_mlp(p, pe_out, qw=None):
             """MLP matmul phase of the forward (MXU-dominated)."""
             xs, coss, emb_a, emb_b = pe_out
+            if q8f:
+                (eaq, ea32), (ebq, eb32) = emb_a, emb_b
+                h1q, s1, h1f = quant_relu(
+                    mmq(qw["w_in"][0], eaq, qw["w_in"][1]) + p["b_in"])
+                h2q, s2, h2f = quant_relu(
+                    mmq(qw["w_mid1"][0], h1q, qw["w_mid1"][1] * s1)
+                    + p["b_mid1"])
+                h3q, s3, h3f = quant_relu(
+                    mmq(qw["w_cat_h"][0], h2q, qw["w_cat_h"][1] * s2)
+                    + mmq(qw["w_cat_x"][0], eaq, qw["w_cat_x"][1])
+                    + p["b_cat"])
+                h4q, s4, h4f = quant_relu(
+                    mmq(qw["w_mid2"][0], h3q, qw["w_mid2"][1] * s3)
+                    + p["b_mid2"])
+                alpha = (mmq(qw["w_alpha"][0], h4q, qw["w_alpha"][1] * s4)
+                         + p["b_alpha"]) * 10.0
+                cq, sc, cactf = quant_relu(
+                    mmq(qw["w_col_h"][0], h4q, qw["w_col_h"][1] * s4)
+                    + mmq(qw["w_col_x"][0], ebq, qw["w_col_x"][1])
+                    + p["b_col"])
+                logits = (mmq(qw["w_out"][0], cq, qw["w_out"][1] * sc)
+                          + p["b_out"])
+                if q8b:
+                    saved = {"xs": xs, "coss": coss, "emb_a": eaq,
+                             "emb_b": ebq, "h1": h1q, "h2": h2q, "h3": h3q,
+                             "h4": h4q, "cact": cq,
+                             "scales": (s1, s2, s3, s4, sc), "qw": qw}
+                else:     # int8_fwd: keep f32 operands for the f32 backward
+                    saved = {"xs": xs, "coss": coss, "emb_a": ea32,
+                             "emb_b": eb32, "h1": h1f, "h2": h2f,
+                             "h3": h3f, "h4": h4f, "cact": cactf}
+                return alpha, logits, saved
             h1 = jax.nn.relu(mm(p["w_in"], emb_a) + p["b_in"]).astype(cdt)
             h2 = jax.nn.relu(mm(p["w_mid1"], h1) + p["b_mid1"]).astype(cdt)
             h3 = jax.nn.relu(mm(p["w_cat_h"], h2) + mm(p["w_cat_x"], emb_a)
@@ -708,12 +824,12 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
                      "h4": h4, "cact": cact}
             return alpha, logits, saved
 
-        def fwd_chunk(p, idx, sub):
+        def fwd_chunk(p, idx, sub, qw=None):
             """Forward for one 128-ray chunk of subgroup ``sub``. Returns
             (alpha [OG, T], colour logits [3OG, T], saved activations);
             alpha/logit pad rows are structurally zero, so the caller
             merges subgroups by sublane-roll + add."""
-            return fwd_mlp(p, fwd_pe(p, idx, sub))
+            return fwd_mlp(p, fwd_pe(p, idx, sub), qw)
 
         def render_bwd(idx, w3, alpha, logits, z):
             """Render + losses + backward-to-(dalpha, dlogits) on MERGED
@@ -829,6 +945,8 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
             data wrapped into the pad rows) are annihilated by the
             structurally-zero head-weight pad rows and the Adam block
             masks. Returns the grads dict."""
+            if q8b:
+                return bwd_chunk_q8(sv, dalpha, dlogits)
             cact, h4, h3, h2, h1 = (sv["cact"], sv["h4"], sv["h3"],
                                     sv["h2"], sv["h1"])
             emb_a, emb_b, coss, xs = (sv["emb_a"], sv["emb_b"], sv["coss"],
@@ -894,6 +1012,75 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
                 preferred_element_type=f32)
             return g
 
+        def bwd_chunk_q8(sv, dalpha, dlogits):
+            """Quantised backward (policy "int8"): every HG-row matmul runs
+            s8 x s8 -> s32; each gradient tensor is dynamically quantised
+            ONCE and reused as both its grad-weight (mmTq) and
+            grad-activation (mTvq) operand. Scale algebra: a tensor x is
+            represented as xq * s_x, so every product rescales by the two
+            operand scales; the emb static row scales (folded into the
+            weight quants) re-emerge as the ``inv_ma_row`` / ``ma_col``
+            multipliers on w_in/w_cat_x grads and demb_a. Bias grads,
+            relu masks, dproj and the dirs grad stay f32."""
+            qw = sv["qw"]
+            s1, s2, s3, s4, sc = sv["scales"]
+            cq, h4q, h3q, h2q, h1q = (sv["cact"], sv["h4"], sv["h3"],
+                                      sv["h2"], sv["h1"])
+            eaq, ebq, coss, xs = (sv["emb_a"], sv["emb_b"], sv["coss"],
+                                  sv["xs"])
+            daq, sda = quant_dyn(dalpha)
+            dlq, sdl = quant_dyn(dlogits)
+            g = {}
+            g["w_out"] = mmTq(dlq, cq, sdl * sc)
+            g["b_out"] = jnp.sum(dlogits, 1, keepdims=True)
+            dc = mTvq(qw["w_out"][0], dlq,
+                      qw["w_out"][1] * sdl) * pos(cq)
+            dcq, sdc = quant_dyn(dc)
+            g["w_col_h"] = mmTq(dcq, h4q, sdc * s4)
+            g["w_col_x"] = mmTq(dcq, ebq, sdc * (1.0 / 127.0))
+            g["b_col"] = jnp.sum(dc, 1, keepdims=True)
+            g["w_alpha"] = mmTq(daq, h4q, sda * s4)
+            g["b_alpha"] = jnp.sum(dalpha, 1, keepdims=True)
+            dh4 = (mTvq(qw["w_col_h"][0], dcq, qw["w_col_h"][1] * sdc)
+                   + mTvq(qw["w_alpha"][0], daq,
+                          qw["w_alpha"][1] * sda)) * pos(h4q)
+            dh4q, sdh4 = quant_dyn(dh4)
+            g["w_mid2"] = mmTq(dh4q, h3q, sdh4 * s3)
+            g["b_mid2"] = jnp.sum(dh4, 1, keepdims=True)
+            dh3 = mTvq(qw["w_mid2"][0], dh4q,
+                       qw["w_mid2"][1] * sdh4) * pos(h3q)
+            dh3q, sdh3 = quant_dyn(dh3)
+            g["w_cat_h"] = mmTq(dh3q, h2q, sdh3 * s2)
+            g["w_cat_x"] = mmTq(dh3q, eaq, sdh3) * inv_ma_row
+            g["b_cat"] = jnp.sum(dh3, 1, keepdims=True)
+            dh2 = mTvq(qw["w_cat_h"][0], dh3q,
+                       qw["w_cat_h"][1] * sdh3) * pos(h2q)
+            dh2q, sdh2 = quant_dyn(dh2)
+            g["w_mid1"] = mmTq(dh2q, h1q, sdh2 * s1)
+            g["b_mid1"] = jnp.sum(dh2, 1, keepdims=True)
+            dh1 = mTvq(qw["w_mid1"][0], dh2q,
+                       qw["w_mid1"][1] * sdh2) * pos(h1q)
+            dh1q, sdh1 = quant_dyn(dh1)
+            g["w_in"] = mmTq(dh1q, eaq, sdh1) * inv_ma_row
+            g["b_in"] = jnp.sum(dh1, 1, keepdims=True)
+
+            demb_a = (mTvq(qw["w_in"][0], dh1q, qw["w_in"][1] * sdh1)
+                      + mTvq(qw["w_cat_x"][0], dh3q,
+                             qw["w_cat_x"][1] * sdh3)) * ma_col
+            demb_b = mTvq(qw["w_col_x"][0], dcq,
+                          qw["w_col_x"][1] * sdc) * 127.0
+            dproj = jnp.where(xsrow, demb_a[0:DG], coss[0] * _PI
+                              * demb_a[0:DG])
+            for k in range(1, 6):
+                blk = demb_a[k * DG:(k + 1) * DG] if k < 4 else \
+                    demb_b[(k - 4) * DG:(k - 3) * DG]
+                fq = _PI * np.float32(2.0 ** k)
+                dproj = dproj + fq * coss[k] * blk
+            g["dirs"] = jax.lax.dot_general(
+                dproj, xs, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+            return g
+
         def fake_grads(lobj):
             return {n: jnp.zeros(shapes[n], f32) + lobj[0, 0]
                     for n in P_NAMES}
@@ -910,6 +1097,14 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
             ps = [{n: view(pout_w, pout_b, n, 0 if shared else sub)
                    for n in P_NAMES}
                   for sub in range(ns)]
+            # weights are constant across the iteration's chunks (AdamW
+            # runs at its end): quantise once per iteration per subgroup;
+            # shared (chunk-merge) subgroups alias ONE parameter block
+            if q8f:
+                qws = ([quant_weights(ps[0])] * ns if shared
+                       else [quant_weights(ps[sub]) for sub in range(ns)])
+            else:
+                qws = [None] * ns
             ns_adam = 1 if shared else ns
             def adam_sub(sub, g):
                 """Masked AdamW for one subgroup from its grads dict."""
@@ -1004,9 +1199,11 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
                     # VPU/MXU work the VLIW scheduler can overlap (same
                     # adjacency trick as sched="alt" for Adam/backward).
                     pes = [fwd_pe(ps[sub], idx, sub) for sub in range(ns)]
-                    fw = [fwd_mlp(ps[sub], pes[sub]) for sub in range(ns)]
+                    fw = [fwd_mlp(ps[sub], pes[sub], qws[sub])
+                          for sub in range(ns)]
                 else:
-                    fw = [fwd_chunk(ps[sub], idx, sub) for sub in range(ns)]
+                    fw = [fwd_chunk(ps[sub], idx, sub, qws[sub])
+                          for sub in range(ns)]
                 alpha, logits = fw[0][0], fw[0][1]
                 for sub in range(1, ns):
                     alpha = alpha + _roll_rows(fw[sub][0], sub * G)
