@@ -39,7 +39,8 @@ import numpy as np
 def build_workload(compute_dtype: str = "float32", fused: bool = True,
                    px_block: int = int(os.environ.get("BENCH_PX_BLOCK", "4")),
                    px_block_bg: int = int(os.environ.get("BENCH_PX_BLOCK_BG",
-                                                         "4"))):
+                                                         "4")),
+                   burst: int = 1):
     import jax
     import jax.numpy as jnp
     from vmap_tpu.core.bank import activate_slot, init_bank
@@ -62,6 +63,7 @@ def build_workload(compute_dtype: str = "float32", fused: bool = True,
         lr=1e-3, wd=0.013, compute_dtype=compute_dtype,
         fx=600.0, fy=600.0, cx=599.5, cy=339.5,
         use_fused_frame=fused, px_block=px_block, px_block_bg=px_block_bg,
+        dispatch_burst=burst if fused else 1,
     )
 
     key = jax.random.PRNGKey(0)
@@ -101,46 +103,73 @@ def build_workload(compute_dtype: str = "float32", fused: bool = True,
 def run(frames: int = 100, compute_dtype: str = "float32",
         fused: bool = True) -> dict:
     import jax
+    import jax.numpy as jnp
     if os.environ.get("BENCH_RNG"):  # e.g. "rbg": TPU hardware RNG
         jax.config.update("jax_default_prng_impl", os.environ["BENCH_RNG"])
     from vmap_tpu.utils.compcache import enable_compilation_cache
     enable_compilation_cache()  # fused kernel ~90 s cold; pay it once
 
+    # frames per dispatch (BENCH_BURST): measured NEUTRAL on this frontend
+    # (12.77/12.79/13.05 ms at burst 4/1/10, round 4) — the per-frame
+    # dispatches already pipeline under the deferred chunk-end loss reads,
+    # so burst stays opt-in here and in the configs (tpu.dispatch_burst).
+    burst = int(os.environ.get("BENCH_BURST", "1"))
+    burst = max(1, min(burst, frames)) if fused else 1
+
     step, st, (bank_obj, bank_bg, pool, obj_tab, obj_ids, bg_tab) = \
-        build_workload(compute_dtype, fused)
+        build_workload(compute_dtype, fused, burst=burst)
 
     # all per-frame keys pre-split to HOST arrays: a per-frame device-side
     # fold_in/split is its own dispatch (~0.8 ms tunnel latency each); a
     # numpy uint32[2] key rides the train dispatch as an 8-byte transfer
     all_keys = np.asarray(jax.random.split(jax.random.PRNGKey(42),
-                                           frames + 1))
+                                           frames + burst))
 
-    def one_frame(bo, bb, k):
-        return step(bo, bb, *pool, obj_tab, obj_ids, bg_tab, k)
+    if burst > 1:
+        # workload-identical burst: the same keyframe tables for each of
+        # the K scanned frames (the bench pool/tables are static anyway)
+        obj_tabs = tuple(jnp.broadcast_to(a[None], (burst,) + a.shape)
+                         for a in obj_tab)
+        bg_tabs = tuple(jnp.broadcast_to(a[None], (burst,) + a.shape)
+                        for a in bg_tab)
+
+        def one_frame(bo, bb, k):
+            """k: [burst, 2] keys -> one dispatch covering `burst` frames."""
+            return step(bo, bb, *pool, obj_tabs, obj_ids, bg_tabs, k)
+    else:
+        def one_frame(bo, bb, k):
+            return step(bo, bb, *pool, obj_tab, obj_ids, bg_tab, k)
 
     # warmup / compile. NOTE on synchronisation: on remote-execution
     # backends block_until_ready can resolve before device completion, so
     # every timed region ends with a host readback of the final loss — a
     # scalar data-dependent on the whole donated-bank chain, which cannot
     # materialise until every step actually ran.
+    def key_arg(i):
+        ks = all_keys[i:i + burst]
+        return ks if burst > 1 else ks[0]
+
+    def last_loss(m):
+        return float(np.asarray(m["loss"]).ravel()[-1])
+
     t0 = time.time()
-    bank_obj, bank_bg, m = one_frame(bank_obj, bank_bg, all_keys[0])
-    float(m["loss"])
+    bank_obj, bank_bg, m = one_frame(bank_obj, bank_bg, key_arg(0))
+    last_loss(m)
     compile_s = time.time() - t0
 
     # The tunnel/dispatch latency on shared TPU frontends is noisy (2-4x
     # swings between identical runs); report the best sustained chunk as
     # the headline and the median chunk alongside.
     n_chunks = 5
-    per_chunk = max(frames // n_chunks, 1)
+    per_chunk = max(frames // n_chunks // burst, 1)   # dispatches per chunk
     chunk_times = []
     for c in range(n_chunks):
         t0 = time.time()
         for i in range(per_chunk):
             bank_obj, bank_bg, m = one_frame(
-                bank_obj, bank_bg, all_keys[1 + c * per_chunk + i])
-        float(m["loss"])  # forces completion of the full chain
-        chunk_times.append((time.time() - t0) / per_chunk)
+                bank_obj, bank_bg, key_arg(1 + (c * per_chunk + i) * burst))
+        last_loss(m)  # forces completion of the full chain
+        chunk_times.append((time.time() - t0) / (per_chunk * burst))
     frame_s = min(chunk_times)
     frame_s_med = sorted(chunk_times)[len(chunk_times) // 2]
 
@@ -159,7 +188,8 @@ def run(frames: int = 100, compute_dtype: str = "float32",
             "compile_s": round(compile_s, 1),
             "compute_dtype": compute_dtype,
             "path": "fused_pallas" if fused else "xla_scan",
-            "loss_final": float(m["loss"]),
+            "dispatch_burst": burst,
+            "loss_final": last_loss(m),
             "backend": jax.devices()[0].platform,
         },
     }

@@ -114,6 +114,12 @@ class Config:
     # "int8" (dynamically quantised s8 MLP matmul operands in the fused
     # kernel, 2x MXU pass rate) / "int8_fwd" (quantised forward only)
     seed: int = 0
+    # frames per device dispatch (fused single-host path): K > 1 queues K
+    # frames' keyframe-table snapshots and trains them in ONE dispatch
+    # (amortises the tunnel's flat per-dispatch latency K-fold; core/mapper
+    # flushes early on object activation / pool-slot reuse / bank reads, so
+    # the math is identical to K=1 — tests/test_burst.py)
+    dispatch_burst: int = 1
     mesh_axes: dict = field(default_factory=dict)  # e.g. {"obj": 4, "data": 2}
     # monolithic fused Pallas train-frame kernel: "auto" enables it on TPU
     # backends (3.4x the XLA scan step on v5e), off elsewhere (the CPU
@@ -229,6 +235,7 @@ class Config:
                 "fused kernel is VPU-bound. Use float32 (default) or "
                 "bwd_bf16.", stacklevel=2)
         c.seed = int(g("tpu.seed", c.seed))
+        c.dispatch_burst = int(g("tpu.dispatch_burst", c.dispatch_burst))
         c.mesh_axes = g("tpu.mesh_axes", c.mesh_axes)
         c.fused_train_step = g("tpu.fused_train_step", c.fused_train_step)
         c.px_block = int(g("tpu.px_block", c.px_block))

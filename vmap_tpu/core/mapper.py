@@ -15,6 +15,7 @@ Differences from the reference, by design:
 
 from __future__ import annotations
 
+import dataclasses
 import time
 from dataclasses import dataclass
 
@@ -40,6 +41,29 @@ class FrameSample:
     bbox_dict: dict          # obj_id -> [u_low, u_high, v_low, v_high]
     t_wc: np.ndarray         # [4, 4]
     frame_id: int
+
+
+class _LazyMetric:
+    """Float-able handle for a burst-queued frame's metric.
+
+    With tpu.dispatch_burst > 1 a frame's loss only materialises when its
+    burst flushes; ``float()`` forces a flush if the frame is still queued
+    (train.py floats losses at its logging cadence, so in steady state the
+    read lands after the flush and costs nothing extra)."""
+    __slots__ = ("_mapper", "_seq", "_name")
+
+    def __init__(self, mapper, seq, name):
+        self._mapper = mapper
+        self._seq = seq
+        self._name = name
+
+    def __float__(self):
+        r = self._mapper._burst_results.get(self._seq)
+        if r is None:
+            self._mapper._flush_burst()
+            r = self._mapper._burst_results[self._seq]
+        v, i = r[self._name]
+        return float(v if i is None else v[i])
 
 
 @dataclass
@@ -179,6 +203,26 @@ class Mapper:
                              and self.mesh.shape["data"] > 1),
             px_block=px_block, px_block_bg=px_block_bg,
         )
+        # burst dispatch (fused single-host only): K frames per device
+        # dispatch amortise the tunnel's flat ~0.5-1.4 ms non-overlapped
+        # per-dispatch cost (scripts/microbench_dispatch.py). Semantically
+        # exact: each queued frame carries its own keyframe-table snapshot
+        # and key; the queue flushes before any bank mutation (object
+        # activation, checkpoint restore), any bank read (meshing/eval/
+        # checkpoint via the bank_obj/bank_bg getters), and before the pool
+        # reuses a slot a queued snapshot still references.
+        self.burst = 1
+        if self.use_fused and not self._fused_sharded:
+            self.burst = max(1, int(getattr(cfg, "dispatch_burst", 1)))
+        self._burst_queue: list = []       # (seq, obj_tab, bg_tab, key)
+        self._burst_results: dict = {}     # seq -> {"loss": lazy scalar, ...}
+        self._burst_seq = 0
+        self._burst_ref_slots: set = set()
+        if self.burst > 1:
+            self.statics = dataclasses.replace(self.statics,
+                                               dispatch_burst=self.burst)
+            self._step_fn_single = make_frame_step(
+                dataclasses.replace(self.statics, dispatch_burst=1))
         if self._fused_sharded:
             from vmap_tpu.core.step import make_fused_step_sharded
             self._step_fn = make_fused_step_sharded(self.statics, self.mesh)
@@ -222,12 +266,14 @@ class Mapper:
     def bank_obj(self):
         if not self.use_fused:
             return self._host_view(self._bank_obj)
+        self._flush_burst()   # readers must see every queued frame trained
         if self._bank_obj is None:
             self._bank_obj = self._unprepare_jit()(self._pb_obj)
         return self._host_view(self._bank_obj)
 
     @bank_obj.setter
     def bank_obj(self, bank):
+        self._flush_burst()   # queued frames observed the pre-write state
         if self.use_fused and bank is not None:
             from vmap_tpu.kernels.train_step import prepare_bank
             self._pb_obj = prepare_bank(bank, self._pb_obj.G)
@@ -240,12 +286,14 @@ class Mapper:
     def bank_bg(self):
         if not (self.use_fused and self.cfg.do_bg):
             return self._bank_bg
+        self._flush_burst()
         if self._bank_bg is None:
             self._bank_bg = self._unprepare_jit()(self._pb_bg)
         return self._bank_bg
 
     @bank_bg.setter
     def bank_bg(self, bank):
+        self._flush_burst()
         if self.use_fused and bank is not None:
             from vmap_tpu.kernels.train_step import prepare_bank
             self._pb_bg = prepare_bank(bank, self._pb_bg.G)
@@ -287,6 +335,9 @@ class Mapper:
         return self._key_block.pop()
 
     def _register_object(self, obj_id: int, frame_id: int) -> ObjectRecord | None:
+        # activation mutates the prepared bank in place: queued burst
+        # frames must train on the PRE-activation state they observed
+        self._flush_burst()
         is_bg = self.cfg.do_bg and obj_id == 0
         if is_bg:
             rec = ObjectRecord(obj_id=0, slot=0, is_bg=True,
@@ -354,11 +405,16 @@ class Mapper:
         try:
             pool_slot = self.pool.allocate(sample.frame_id)
         except RuntimeError:
+            self._flush_burst()   # force-release re-points queued refs
             if not self._force_release_pool_slot():
                 raise
             print("WARNING: frame pool full — forced release of the oldest "
                   "referenced frame (raise tpu.frame_pool_size to avoid)")
             pool_slot = self.pool.allocate(sample.frame_id)
+        if self._burst_queue and pool_slot in self._burst_ref_slots:
+            # the slot being (re)written is still referenced by a queued
+            # table snapshot: train those frames before overwriting it
+            self._flush_burst()
         self.pool.write(pool_slot, sample.image, depth_mm, inst, sample.t_wc)
 
         for obj_id, bbox in sample.bbox_dict.items():
@@ -419,6 +475,8 @@ class Mapper:
             return {}
         if self.cfg.training_strategy == "forloop":
             return self._train_frame_forloop()
+        if self.use_fused and self.burst > 1:
+            return self._train_frame_burst()
         obj_tab, bg_tab = self._device_tables()
         obj_ids = jnp.asarray(self._slot_objid)
         if self.mesh is not None:
@@ -439,6 +497,61 @@ class Mapper:
         metrics = {k: v for k, v in metrics.items()}
         metrics["step_time_s"] = time.perf_counter() - t0
         return metrics
+
+    def _train_frame_burst(self) -> dict:
+        """Queue this frame's (table snapshot, key); dispatch K queued
+        frames as ONE device call (lax.scan in core/step.py). Losses come
+        back stacked and are handed out as lazy per-frame handles."""
+        t0 = time.perf_counter()
+        seq = self._burst_seq
+        self._burst_seq += 1
+        snap_o = self.obj_table.as_arrays()   # fresh numpy per rebuild —
+        snap_b = (self.bg_table.as_arrays()   # safe to hold by reference
+                  if self.cfg.do_bg else snap_o)
+        self._burst_queue.append((seq, snap_o, snap_b, self._next_key()))
+        # pool slots any queued snapshot references (over-inclusive: the
+        # unused table rows hold slot 0) — ingest flushes before reusing one
+        self._burst_ref_slots.update(np.unique(snap_o[0]).tolist())
+        self._burst_ref_slots.update(np.unique(snap_b[0]).tolist())
+        if len(self._burst_queue) >= self.burst:
+            self._flush_burst()
+        return {"loss": _LazyMetric(self, seq, "loss"),
+                "loss_mean": _LazyMetric(self, seq, "loss_mean"),
+                "step_time_s": time.perf_counter() - t0}
+
+    def _flush_burst(self) -> None:
+        """Dispatch all queued frames: one K-frame scan dispatch when the
+        queue is full, otherwise (activation / pool-conflict / read-forced
+        partial flushes) single-frame dispatches through the burst=1 step."""
+        if not self._burst_queue:
+            return
+        q, self._burst_queue = self._burst_queue, []
+        self._burst_ref_slots = set()
+        obj_ids = jnp.asarray(self._slot_objid)
+        pool = self.pool.arrays()
+        if len(q) == self.burst:
+            obj_tabs = tuple(jnp.asarray(np.stack([s[1][i] for s in q]))
+                             for i in range(4))
+            bg_tabs = tuple(jnp.asarray(np.stack([s[2][i] for s in q]))
+                            for i in range(4))
+            keys = np.stack([s[3] for s in q])
+            self._pb_obj, self._pb_bg, ms = self._step_fn(
+                self._pb_obj, self._pb_bg, *pool, obj_tabs, obj_ids,
+                bg_tabs, keys)
+            for i, (seq, *_r) in enumerate(q):
+                self._burst_results[seq] = {k: (v, i) for k, v in ms.items()}
+        else:
+            for seq, so, sb, key in q:
+                self._pb_obj, self._pb_bg, ms = self._step_fn_single(
+                    self._pb_obj, self._pb_bg, *pool,
+                    tuple(jnp.asarray(a) for a in so), obj_ids,
+                    tuple(jnp.asarray(a) for a in sb), key)
+                self._burst_results[seq] = {k: (v, None)
+                                            for k, v in ms.items()}
+        self._invalidate_flat_cache()
+        if len(self._burst_results) > 4096:   # bound the lazy-loss dict
+            for s in sorted(self._burst_results)[:-1024]:
+                del self._burst_results[s]
 
     def _train_frame_forloop(self) -> dict:
         """Sequential per-object training (ablation). Each active slot runs

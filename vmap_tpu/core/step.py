@@ -85,6 +85,15 @@ class StepStatics:
     # block layout (PreparedBank) across frames; measured 3.4x faster than
     # the XLA scan path on v5e (15.5 ms vs 53.6 ms per 100-object frame)
     use_fused_frame: bool = False
+    # frames per device dispatch (fused path only). The axon tunnel pays a
+    # flat ~0.5-1.4 ms of NON-OVERLAPPED cost per dispatch (measured,
+    # scripts/microbench_dispatch.py: independent chains do not pipeline);
+    # a burst of K frames in ONE dispatch (lax.scan over per-frame
+    # keyframe-table snapshots + keys) amortises it K-fold. Semantically
+    # exact: frame N's step consumes table snapshot N, and the Mapper
+    # flushes the burst queue before any bank mutation (object activation)
+    # or pool-slot reuse that a queued snapshot references.
+    dispatch_burst: int = 1
     # pixel-sampling granularity: 1 draws every pixel independently
     # (reference-exact, vmap.py:343-351); L>1 draws runs of L v-contiguous
     # pixels from an L-aligned grid, cutting the pool-gather element count
@@ -355,6 +364,27 @@ def make_frame_step(st: StepStatics):
                 loss_mean = loss_mean + losses_b.sum(0).mean()
             metrics = {"loss": loss, "loss_mean": loss_mean}
             return pb_obj, pb_bg, metrics
+
+        if st.dispatch_burst > 1:
+            def burst_step(pb_obj, pb_bg, pool_packed, pool_twc,
+                           obj_tabs, obj_ids, bg_tabs, keys):
+                """K frames in one dispatch: scan over stacked per-frame
+                (obj_tab, bg_tab, key); the pool is shared (snapshots only
+                reference slots live at their frame). Returns metrics
+                stacked [K]."""
+                def body(carry, x):
+                    po, pb = carry
+                    obj_tab, bg_tab, key = x
+                    po, pb, metrics = fused_step(
+                        po, pb, pool_packed, pool_twc, obj_tab, obj_ids,
+                        bg_tab, key)
+                    return (po, pb), metrics
+
+                (pb_obj, pb_bg), ms = jax.lax.scan(
+                    body, (pb_obj, pb_bg), (obj_tabs, bg_tabs, keys))
+                return pb_obj, pb_bg, ms
+
+            return jax.jit(burst_step, donate_argnums=(0, 1))
 
         return jax.jit(fused_step, donate_argnums=(0, 1))
 
