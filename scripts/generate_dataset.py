@@ -98,7 +98,11 @@ def main(argv=None):
     else:
         write_scannet_sequence(args.out_dir, frames, traj,
                                invalid_pose_frames=tuple(
-                                   args.invalid_pose_frames))
+                                   args.invalid_pose_frames),
+                               intrinsics=st.intrinsics())
+        # GT submeshes + info_semantic.json next to the sequence so the
+        # object/scene eval protocols run on ScanNet-layout datasets too
+        write_gt_submeshes(os.path.join(args.out_dir, "habitat"), objects)
     print(f"wrote {args.frames} frames ({args.format}) -> {args.out_dir}")
 
 

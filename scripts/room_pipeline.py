@@ -47,6 +47,18 @@ def main(argv=None):
                    help="override tpu.seed (repeat-run variance studies)")
     p.add_argument("--grid_dim", type=int, default=128)
     p.add_argument("--n_models", type=int, default=None)
+    p.add_argument("--config", default="configs/Replica/room0_vmap.json",
+                   help="shipped config to train with (e.g. the iMAP or "
+                        "ScanNet family)")
+    p.add_argument("--format", default="Replica",
+                   choices=["Replica", "ScanNet"],
+                   help="dataset layout to generate/train on")
+    p.add_argument("--width", type=int, default=1200)
+    p.add_argument("--height", type=int, default=680)
+    p.add_argument("--focal", type=float, default=600.0)
+    p.add_argument("--scene_only", action="store_true",
+                   help="skip the object protocol (iMAP: single field)")
+    p.add_argument("--tag", default=None, help="override the run tag")
     p.add_argument("--skip_generate", action="store_true",
                    help="reuse an already-generated dataset in --work")
     p.add_argument("--skip_train", action="store_true")
@@ -62,6 +74,8 @@ def main(argv=None):
         tag += f"_{args.compute_dtype}"
     if args.train_seed is not None:
         tag += f"_seed{args.train_seed}"
+    if args.tag is not None:
+        tag = args.tag
     logdir = os.path.join(args.work, f"run_{tag}")
     os.makedirs(args.work, exist_ok=True)
 
@@ -70,19 +84,27 @@ def main(argv=None):
         print(f"[1/3] generating {args.frames}-frame room "
               f"({args.objects} objects, 1200x680) ...", flush=True)
         from scripts.generate_dataset import main as gen_main
-        gen_main([data_dir, "--format", "Replica", "--scene", "room",
+        gen_main([data_dir, "--format", args.format, "--scene", "room",
                   "--objects", str(args.objects), "--seed", str(args.seed),
                   "--frames", str(args.frames),
-                  "--width", "1200", "--height", "680",
-                  "--fx", "600.0", "--fy", "600.0"])
+                  "--width", str(args.width), "--height", str(args.height),
+                  "--fx", str(args.focal), "--fy", str(args.focal)])
         print(f"  generated in {time.time() - t0:.0f}s", flush=True)
 
-    # the shipped Replica config with only the dataset path, pool size and
-    # export cadence repointed at the generated sequence
-    with open("configs/Replica/room0_vmap.json") as f:
+    # the shipped config with only the dataset path, pool size and export
+    # cadence repointed at the generated sequence
+    with open(args.config) as f:
         cfg = json.load(f)
     n_frames = args.max_frames or args.frames
     cfg["dataset"]["path"] = data_dir
+    # camera must match the generated resolution (ScanNet reads fx/fy/cx/cy
+    # from the dataset's intrinsic txt, but w/h/margins come from the config)
+    cfg["camera"]["w"] = args.width
+    cfg["camera"]["h"] = args.height
+    if args.format == "Replica":
+        cfg["camera"]["fx"] = cfg["camera"]["fy"] = args.focal
+        cfg["camera"]["cx"] = (args.width - 1) / 2.0
+        cfg["camera"]["cy"] = (args.height - 1) / 2.0
     # per-object keyframe schedules (first_seen + k*keyframe_step phases)
     # pool ~40 objects x 20-kf buffers with ~1.6x frame sharing -> ~500
     # distinct frames at steady state; 512 matches the shipped room0 config
@@ -119,9 +141,12 @@ def main(argv=None):
     mesh_dir = os.path.join(logdir, "scene_mesh")
     gt_dir = os.path.join(data_dir, "habitat")
     from vmap_tpu.eval.eval_3d import main as eval_main
-    obj_path = os.path.join(args.work, f"metrics_obj_{tag}.json")
-    obj_m = eval_main(["object", "--mesh_dir", mesh_dir, "--gt_dir", gt_dir,
-                       "--frame", str(last_frame), "--out", obj_path])
+    obj_m = None
+    if not args.scene_only:
+        obj_path = os.path.join(args.work, f"metrics_obj_{tag}.json")
+        obj_m = eval_main(["object", "--mesh_dir", mesh_dir,
+                           "--gt_dir", gt_dir,
+                           "--frame", str(last_frame), "--out", obj_path])
 
     from vmap_tpu.geometry.mesh import Mesh, load_mesh
     parts = [load_mesh(os.path.join(gt_dir, f))
@@ -137,9 +162,9 @@ def main(argv=None):
                          "--frame", str(last_frame), "--out", scene_path])
 
     summary = {"tag": tag, "frames": n_frames, "objects": args.objects,
-               "grid_dim": args.grid_dim,
-               "object_mean": obj_m["mean"],
-               "bg": obj_m["per_object"].get(0),
+               "grid_dim": args.grid_dim, "config": args.config,
+               "object_mean": obj_m["mean"] if obj_m else None,
+               "bg": obj_m["per_object"].get(0) if obj_m else None,
                "scene": scene_m,
                "total_s": round(time.time() - t0, 1)}
     out = args.out or os.path.join(args.work, f"room_study_{tag}.json")

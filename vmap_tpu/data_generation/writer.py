@@ -52,18 +52,30 @@ def write_replica_sequence(out_dir: str, frames, traj: np.ndarray,
 
 def write_scannet_sequence(out_dir: str, frames, traj: np.ndarray,
                            depth_scale: float = 1000.0,
-                           invalid_pose_frames: tuple = ()) -> None:
+                           invalid_pose_frames: tuple = (),
+                           intrinsics: tuple | None = None) -> None:
     """Write frames as a ScanNet-layout sequence:
 
         color/<i>.jpg, depth/<i>.png (uint16 mm), instance-filt/<i>.png,
         label-filt/<i>.png, pose/<i>.txt
+        [+ intrinsic/intrinsic_depth.txt when ``intrinsics`` is given]
 
     ``invalid_pose_frames`` writes -inf poses for those indices (ScanNet
     sequences contain untracked frames; loaders must skip them).
+    ``intrinsics`` = (fx, fy, cx, cy): ScanNet configs read the camera
+    from the dataset's intrinsic txt (reference cfg.py:41-46), so the
+    generator must ship one for the config to load stand-alone.
     """
     import cv2
     for sub in ("color", "depth", "instance-filt", "label-filt", "pose"):
         os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+    if intrinsics is not None:
+        fx, fy, cx, cy = intrinsics
+        os.makedirs(os.path.join(out_dir, "intrinsic"), exist_ok=True)
+        K = np.array([[fx, 0, cx, 0], [0, fy, cy, 0],
+                      [0, 0, 1, 0], [0, 0, 0, 1]], np.float64)
+        np.savetxt(os.path.join(out_dir, "intrinsic",
+                                "intrinsic_depth.txt"), K)
     for i, f in enumerate(frames):
         rgb_hw = f["rgb"].transpose(1, 0, 2)
         _imwrite(os.path.join(out_dir, "color", f"{i}.jpg"),
