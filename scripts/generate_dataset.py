@@ -60,6 +60,10 @@ def main(argv=None):
     p.add_argument("--objects", type=int, default=40,
                    help="furniture instance count for --scene room")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ply_furniture", action="store_true",
+                   help="generate a .ply furniture library and build the "
+                        "room with ~1/3 loaded-mesh instances "
+                        "(data_generation/room.py write_ply_library)")
     args = p.parse_args(argv)
 
     from vmap_tpu.data_generation import (MeshRenderer, RenderSettings,
@@ -71,7 +75,13 @@ def main(argv=None):
     if args.scene == "room":
         from vmap_tpu.data_generation.room import (make_room_scene,
                                                    room_trajectory)
-        objs, shell, meta = make_room_scene(args.objects, seed=args.seed)
+        ply_dir = None
+        if args.ply_furniture:
+            from vmap_tpu.data_generation.room import write_ply_library
+            ply_dir = os.path.join(args.out_dir, "ply_lib")
+            write_ply_library(ply_dir, seed=args.seed)
+        objs, shell, meta = make_room_scene(args.objects, seed=args.seed,
+                                            ply_dir=ply_dir)
         objects = objs + shell
         traj = room_trajectory(args.frames, size=meta["size"],
                                seed=args.seed)

@@ -59,6 +59,8 @@ def main(argv=None):
     p.add_argument("--scene_only", action="store_true",
                    help="skip the object protocol (iMAP: single field)")
     p.add_argument("--tag", default=None, help="override the run tag")
+    p.add_argument("--ply_furniture", action="store_true",
+                   help="~1/3 of furniture from a generated .ply library")
     p.add_argument("--skip_generate", action="store_true",
                    help="reuse an already-generated dataset in --work")
     p.add_argument("--skip_train", action="store_true")
@@ -88,7 +90,8 @@ def main(argv=None):
                   "--objects", str(args.objects), "--seed", str(args.seed),
                   "--frames", str(args.frames),
                   "--width", str(args.width), "--height", str(args.height),
-                  "--fx", str(args.focal), "--fy", str(args.focal)])
+                  "--fx", str(args.focal), "--fy", str(args.focal)]
+                 + (["--ply_furniture"] if args.ply_furniture else []))
         print(f"  generated in {time.time() - t0:.0f}s", flush=True)
 
     # the shipped config with only the dataset path, pool size and export

@@ -143,3 +143,23 @@ def test_scannet_layout_roundtrip(tmp_path):
     s = ds[2]
     assert s is not None and s["frame_id"] == 2
     np.testing.assert_allclose(s["depth"], frames[2]["depth"], atol=2e-3)
+
+
+def test_ply_furniture_room(tmp_path):
+    """write_ply_library -> make_room_scene(ply_dir=...) loads complex
+    mesh-file furniture (the reference renders real Replica assets,
+    habitat_renderer.py:27-246; the library approximates their triangle
+    counts through the PLY load path)."""
+    import numpy as np
+    from vmap_tpu.data_generation.room import (make_room_scene,
+                                               write_ply_library)
+    lib = tmp_path / "ply_lib"
+    paths = write_ply_library(str(lib), seed=3)
+    assert len(paths) == 9 and all(p.endswith(".ply") for p in paths)
+    objs, shell, meta = make_room_scene(12, seed=0, ply_dir=str(lib))
+    faces = [len(o.mesh.faces) for o in objs]
+    assert max(faces) > 500, faces        # loaded pieces joined the pool
+    for o in objs:
+        v = o.mesh.vertices
+        assert np.isfinite(v).all()
+        assert v[:, 1].max() <= 1e-3      # footed at the floor (y down)

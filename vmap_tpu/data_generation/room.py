@@ -149,6 +149,112 @@ _BUILDERS = [("table", _table, 14), ("chair", _chair, 3),
              ("ball", _ball, 20), ("drum", _drum, 36)]
 
 
+# ---------------------------------------------------------------------- #
+# loaded-PLY furniture: the reference renders real Replica .glb assets
+# (habitat_renderer.py:27-246). No real assets ship in this environment,
+# so write_ply_library generates complex organic meshes (displaced
+# icospheres, lathed vases, tori — 0.5-5k faces vs the primitives'
+# 10-100), exports them as .ply files, and make_room_scene(ply_dir=...)
+# loads them back through geometry/mesh.py's PLY parser — exercising the
+# mesh-file furniture path at Replica-like triangle counts.
+# ---------------------------------------------------------------------- #
+
+def _displaced_rock(rng, subdiv=3) -> Mesh:
+    m = icosphere(1.0, (0, 0, 0), subdivisions=subdiv)
+    v = m.vertices.copy()
+    r = np.linalg.norm(v, axis=1, keepdims=True)
+    d = np.ones(len(v))
+    for _ in range(4):   # smooth pseudo-noise: a few random plane waves
+        k = rng.normal(size=3)
+        ph = rng.uniform(0, 2 * np.pi)
+        d += rng.uniform(0.05, 0.16) * np.sin(v @ k * 2.2 + ph)
+    v = v / r * (r * d[:, None])
+    v[:, 1] *= rng.uniform(0.6, 1.1)     # squash
+    m = Mesh(v, m.faces)
+    mn, mx = _aabb(m)
+    s = rng.uniform(0.25, 0.55) / max(mx[0] - mn[0], 1e-6)
+    m = m.apply_transform(np.diag([s, s, s, 1.0]))
+    mn, mx = _aabb(m)
+    return m.apply_translation([0, -mx[1], 0])   # foot at y=0
+
+
+def _lathed_vase(rng, n_prof=14, segments=28) -> Mesh:
+    h = rng.uniform(0.4, 1.0)
+    ys = np.linspace(0, -h, n_prof)
+    base = rng.uniform(0.08, 0.2)
+    prof = base * (1.0 + 0.6 * np.sin(np.linspace(0, np.pi, n_prof))
+                   + 0.25 * np.sin(np.linspace(0, 2 * np.pi, n_prof)
+                                   + rng.uniform(0, np.pi)))
+    ang = np.linspace(0, 2 * np.pi, segments, endpoint=False)
+    verts = np.stack([prof[:, None] * np.cos(ang)[None, :],
+                      np.broadcast_to(ys[:, None], (n_prof, segments)),
+                      prof[:, None] * np.sin(ang)[None, :]],
+                     -1).reshape(-1, 3)
+    faces = []
+    for i in range(n_prof - 1):
+        for j in range(segments):
+            a = i * segments + j
+            b = i * segments + (j + 1) % segments
+            faces += [[a, b, a + segments], [b, b + segments, a + segments]]
+    # cap the bottom (y=0 ring) with a fan
+    c = len(verts)
+    verts = np.vstack([verts, [[0.0, 0.0, 0.0]]])
+    for j in range(segments):
+        faces.append([j, (j + 1) % segments, c])
+    return Mesh(np.asarray(verts), np.asarray(faces))
+
+
+def _torus(rng, seg_u=26, seg_v=14) -> Mesh:
+    R = rng.uniform(0.18, 0.35)
+    r = rng.uniform(0.05, 0.1)
+    u = np.linspace(0, 2 * np.pi, seg_u, endpoint=False)
+    v = np.linspace(0, 2 * np.pi, seg_v, endpoint=False)
+    uu, vv = np.meshgrid(u, v, indexing="ij")
+    verts = np.stack([(R + r * np.cos(vv)) * np.cos(uu),
+                      -(R + r) - r * np.sin(vv),       # stands on its rim
+                      (R + r * np.cos(vv)) * np.sin(uu)], -1).reshape(-1, 3)
+    faces = []
+    for i in range(seg_u):
+        for j in range(seg_v):
+            a = i * seg_v + j
+            b = ((i + 1) % seg_u) * seg_v + j
+            a2 = i * seg_v + (j + 1) % seg_v
+            b2 = ((i + 1) % seg_u) * seg_v + (j + 1) % seg_v
+            faces += [[a, b, b2], [a, b2, a2]]
+    m = Mesh(np.asarray(verts, float), np.asarray(faces))
+    mn, mx = _aabb(m)
+    return m.apply_translation([0, -mx[1], 0])
+
+
+def write_ply_library(lib_dir: str, seed: int = 0, n: int = 9) -> list[str]:
+    """Generate ``n`` complex furniture meshes and write them as .ply.
+    Returns the file paths (deterministic per seed)."""
+    import os
+    os.makedirs(lib_dir, exist_ok=True)
+    rng = np.random.default_rng(seed + 77)
+    makers = [_displaced_rock, _lathed_vase, _torus]
+    paths = []
+    for i in range(n):
+        m = makers[i % len(makers)](rng)
+        p = os.path.join(lib_dir, f"piece_{i:02d}.ply")
+        m.export(p)
+        paths.append(p)
+    return paths
+
+
+def _ply_builder(pieces):
+    """Builder drawing a random loaded library piece (uniform scale jitter;
+    classes: rocks/vases/tori stand in for Replica's plant/vase/sculpture
+    classes)."""
+    def build(rng):
+        m = pieces[rng.integers(len(pieces))]
+        s = rng.uniform(0.8, 1.6)
+        m = m.apply_transform(np.diag([s, s, s, 1.0]))
+        mn, mx = _aabb(m)
+        return m.apply_translation([0, -mx[1], 0])
+    return build
+
+
 def _rot_y(mesh: Mesh, ang: float) -> Mesh:
     c, s = np.cos(ang), np.sin(ang)
     T = np.eye(4)
@@ -157,7 +263,8 @@ def _rot_y(mesh: Mesh, ang: float) -> Mesh:
 
 
 def make_room_scene(n_objects: int = 40, seed: int = 0,
-                    size=(9.0, 6.5), wall_h: float = 2.8):
+                    size=(9.0, 6.5), wall_h: float = 2.8,
+                    ply_dir: str | None = None):
     """Build the furnished room.
 
     Returns (objects, shell, meta): ``objects`` are the n_objects furniture
@@ -165,9 +272,23 @@ def make_room_scene(n_objects: int = 40, seed: int = 0,
     SceneObjects (background classes, instance ids n+1..), ``meta`` a dict
     with the room extents. Placement is grid-free rejection sampling on
     footprints with a wall margin, so instances never interpenetrate.
+
+    ``ply_dir``: directory of .ply furniture (see write_ply_library) —
+    loaded pieces join the builder pool with weight ~1/3 of draws,
+    approximating real Replica geometry complexity with mesh-file assets.
     """
     rng = np.random.default_rng(seed)
     sx, sz = float(size[0]), float(size[1])
+
+    builders = list(_BUILDERS)
+    if ply_dir is not None:
+        import glob as _glob
+        from vmap_tpu.geometry.mesh import load_mesh
+        pieces = [load_mesh(p)
+                  for p in sorted(_glob.glob(ply_dir + "/*.ply"))]
+        if pieces:
+            # 4 pool entries of 12 -> ~1/3 of furniture draws are loaded
+            builders += [("ply", _ply_builder(pieces), 11)] * 4
 
     X, Y, Z = (1, 0, 0), (0, 1, 0), (0, 0, 1)
     shell_meshes = [
@@ -191,7 +312,7 @@ def make_room_scene(n_objects: int = 40, seed: int = 0,
     attempts = 0
     while len(objects) < n_objects and attempts < n_objects * 500:
         attempts += 1
-        name, build, cls = _BUILDERS[rng.integers(len(_BUILDERS))]
+        name, build, cls = builders[rng.integers(len(builders))]
         mesh = _rot_y(build(rng), rng.uniform(0, 2 * np.pi))
         mn, mx = _aabb(mesh)
         rad = float(max(mx[0] - mn[0], mx[2] - mn[2])) / 2 + 0.10
