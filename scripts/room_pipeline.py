@@ -61,6 +61,9 @@ def main(argv=None):
     p.add_argument("--tag", default=None, help="override the run tag")
     p.add_argument("--ply_furniture", action="store_true",
                    help="~1/3 of furniture from a generated .ply library")
+    p.add_argument("--save_ckpt", action="store_true",
+                   help="save per-object + full-state checkpoints at the "
+                        "export cadence (enables offline remesh.py)")
     p.add_argument("--skip_generate", action="store_true",
                    help="reuse an already-generated dataset in --work")
     p.add_argument("--skip_train", action="store_true")
@@ -93,6 +96,28 @@ def main(argv=None):
                   "--fx", str(args.focal), "--fy", str(args.focal)]
                  + (["--ply_furniture"] if args.ply_furniture else []))
         print(f"  generated in {time.time() - t0:.0f}s", flush=True)
+
+    # Dataset sanity gate: the room shell is watertight, so rays only miss
+    # through generator bugs. Round 4 found /tmp work dirs holding a
+    # STALE-CODE regeneration (31-44% ray escapes, round-1-era trajectory)
+    # that silently poisoned quality runs — fail loudly instead.
+    import numpy as np
+    depth_dir = os.path.join(data_dir, "depth")
+    if os.path.isdir(depth_dir):
+        import cv2
+        files = sorted(os.listdir(depth_dir))
+        probe = files[:: max(len(files) // 5, 1)][:5]
+        fracs = []
+        for f in probe:
+            d = cv2.imread(os.path.join(depth_dir, f), cv2.IMREAD_UNCHANGED)
+            if d is not None:
+                fracs.append(float((d == 0).mean()))
+        if fracs and float(np.mean(fracs)) > 0.15:
+            raise SystemExit(
+                f"dataset sanity check FAILED: mean invalid-depth fraction "
+                f"{np.mean(fracs):.2f} over {len(fracs)} probed frames — "
+                f"the room dataset in {data_dir} has ray escapes (stale or "
+                f"buggy generation). Regenerate without --skip_generate.")
 
     # the shipped config with only the dataset path, pool size and export
     # cadence repointed at the generated sequence
@@ -136,6 +161,8 @@ def main(argv=None):
         train_argv = ["--config", cfg_path, "--logdir", logdir]
         if args.max_frames:
             train_argv += ["--max_frames", str(args.max_frames)]
+        if args.save_ckpt:
+            train_argv += ["--save_ckpt"]
         train_main(train_argv)
         print(f"  trained in {time.time() - t1:.0f}s", flush=True)
 
