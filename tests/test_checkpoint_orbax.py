@@ -45,3 +45,11 @@ def test_orbax_roundtrip(tmp_path):
     out = m2.process_frame(FrameSample(s["image"], s["depth"], s["obj"],
                                        s["bbox_dict"], s["T"], 4))
     assert np.isfinite(float(out["loss"]))
+
+    # the PARENT dir (train.py's <logdir>/ckpt/state layout) also loads,
+    # via its latest.json pointer — what train.py --resume and
+    # scripts/remesh.py receive
+    m3 = Mapper(_cfg())
+    assert C.load_full_checkpoint(m3, str(tmp_path)) == 3
+    np.testing.assert_allclose(np.asarray(m3.bank_obj.flat),
+                               np.asarray(m.bank_obj.flat))

@@ -241,8 +241,18 @@ def load_full_checkpoint_orbax(mapper, ckpt_dir: str) -> int:
             host = pickle.load(f)
         spec_obj = host["bank_obj_meta"]
         spec_bg = host["bank_bg_meta"]
-    with ocp.StandardCheckpointer() as ckptr:
-        arrays = ckptr.restore(os.path.abspath(ckpt_dir))
+    # Restore to HOST numpy explicitly: StandardCheckpointer's default
+    # restores onto the devices recorded at save time, which fails when the
+    # checkpoint moves platforms (trained on TPU, re-meshed/analysed on a
+    # CPU box, or vice versa). The tree is re-placed on the current default
+    # device by the jnp.asarray below.
+    with ocp.PyTreeCheckpointer() as ckptr:
+        item = ckptr.metadata(os.path.abspath(ckpt_dir)).item_metadata
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), item.tree)
+        arrays = ckptr.restore(
+            os.path.abspath(ckpt_dir),
+            args=ocp.args.PyTreeRestore(restore_args=restore_args))
     import jax.numpy as jnp
     arrays = jax.tree.map(jnp.asarray, arrays)  # host np -> device buffers
     mapper.bank_obj = BankState(spec=spec_obj, **arrays["bank_obj"])
@@ -275,6 +285,14 @@ def load_full_checkpoint(mapper, file: str) -> int:
     directory or a pickle file."""
     import jax.numpy as jnp
     if os.path.isdir(file):
+        # train.py --save_ckpt writes <logdir>/ckpt/state/orbax_frame_<N>/
+        # plus a state/latest.json pointer; accept the parent dir too.
+        latest = os.path.join(file, "latest.json")
+        if (not os.path.exists(os.path.join(file, "host_state.json"))
+                and not os.path.exists(os.path.join(file, "host_state.pkl"))
+                and os.path.exists(latest)):
+            with open(latest) as f:
+                file = json.load(f)["file"]
         return load_full_checkpoint_orbax(mapper, file)
     with open(file, "rb") as f:
         state = pickle.load(f)
