@@ -27,6 +27,8 @@ Sampling parity notes:
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass
 from functools import lru_cache
 
@@ -365,6 +367,20 @@ def make_frame_step(st: StepStatics):
             metrics = {"loss": loss, "loss_mean": loss_mean}
             return pb_obj, pb_bg, metrics
 
+        # Donation knob (VMAP_DONATE=0 disables). Donating the prepared
+        # banks lets XLA reuse their HBM — but the entry-level alias
+        # contract (output tuple element MUST occupy the donated input's
+        # buffer) combined with a pallas_call that does NOT declare
+        # operand-output aliasing forces XLA to COPY all six state blocks
+        # (~122 MB/frame, HLO copy.312-.317 + chunked slice-start/
+        # ConcatBitcast variants — scripts/inspect_hlo_copies.py) to
+        # scratch before the kernel so the kernel's outputs can land in
+        # the parameter buffers. Without donation the kernel reads the
+        # inputs in place and writes fresh buffers: zero copies, at the
+        # cost of one transient extra copy of the bank state in HBM.
+        donate = (() if os.environ.get("VMAP_DONATE", "1") == "0"
+                  else (0, 1))
+
         if st.dispatch_burst > 1:
             def burst_step(pb_obj, pb_bg, pool_packed, pool_twc,
                            obj_tabs, obj_ids, bg_tabs, keys):
@@ -384,9 +400,9 @@ def make_frame_step(st: StepStatics):
                     body, (pb_obj, pb_bg), (obj_tabs, bg_tabs, keys))
                 return pb_obj, pb_bg, ms
 
-            return jax.jit(burst_step, donate_argnums=(0, 1))
+            return jax.jit(burst_step, donate_argnums=donate)
 
-        return jax.jit(fused_step, donate_argnums=(0, 1))
+        return jax.jit(fused_step, donate_argnums=donate)
 
     def frame_step(bank_obj: BankState, bank_bg: BankState | None,
                    pool_packed, pool_twc,
