@@ -37,7 +37,7 @@ import numpy as np
 
 
 def build_workload(compute_dtype: str = "float32", fused: bool = True,
-                   px_block: int = int(os.environ.get("BENCH_PX_BLOCK", "4")),
+                   px_block: int = int(os.environ.get("BENCH_PX_BLOCK", "1")),
                    px_block_bg: int = int(os.environ.get("BENCH_PX_BLOCK_BG",
                                                          "4")),
                    burst: int = 1):

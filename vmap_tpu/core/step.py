@@ -12,7 +12,9 @@ hundreds of Python-level torch calls (train.py:195-326):
      (reference: Python for-loop with functorch vmap + torch autograd,
      train.py:270-326),
 
-with all tensors resident in HBM and parameters donated (updated in place).
+with all tensors resident in HBM. The XLA-scan path donates parameters
+(updated in place); the fused-kernel path does NOT donate by default —
+see the VMAP_DONATE note in make_frame_step for the measured reason.
 
 Sampling parity notes:
   * keyframe choice: uniform over local slots [0, n_kf) with the latest two
@@ -367,10 +369,10 @@ def make_frame_step(st: StepStatics):
             metrics = {"loss": loss, "loss_mean": loss_mean}
             return pb_obj, pb_bg, metrics
 
-        # Donation knob (VMAP_DONATE=0 disables). Donating the prepared
-        # banks lets XLA reuse their HBM — but the entry-level alias
-        # contract (output tuple element MUST occupy the donated input's
-        # buffer) combined with a pallas_call that does NOT declare
+        # Donation knob (default OFF; VMAP_DONATE=1 re-enables). Donating
+        # the prepared banks lets XLA reuse their HBM — but the entry-level
+        # alias contract (output tuple element MUST occupy the donated
+        # input's buffer) combined with a pallas_call that does NOT declare
         # operand-output aliasing forces XLA to COPY all six state blocks
         # (~122 MB/frame, HLO copy.312-.317 + chunked slice-start/
         # ConcatBitcast variants — scripts/inspect_hlo_copies.py) to
@@ -378,8 +380,13 @@ def make_frame_step(st: StepStatics):
         # the parameter buffers. Without donation the kernel reads the
         # inputs in place and writes fresh buffers: zero copies, at the
         # cost of one transient extra copy of the bank state in HBM.
-        donate = (() if os.environ.get("VMAP_DONATE", "1") == "0"
-                  else (0, 1))
+        # Same-session v5e A/B (round 4): 11.85 -> 11.38 ms/frame (px4),
+        # 12.83 -> 12.63 (px1), loss bit-identical. (VMAP_ALIAS=1 —
+        # pallas-level in-place state — measured marginally faster still
+        # but produces NaN losses on v5e hardware: in-place read-after-
+        # write hazard. Do not use.)
+        donate = ((0, 1) if os.environ.get("VMAP_DONATE", "0") == "1"
+                  else ())
 
         if st.dispatch_burst > 1:
             def burst_step(pb_obj, pb_bg, pool_packed, pool_twc,
@@ -535,7 +542,10 @@ def make_fused_step_sharded(st: StepStatics, mesh):
         return sharded(pb_obj, pb_bg, keys, pool_packed, pool_twc,
                        obj_tab, obj_ids, bg_tab, k_bg)
 
-    return jax.jit(fused_step, donate_argnums=(0, 1))
+    # same alias-contract copy tax as the single-chip path (see the
+    # VMAP_DONATE note in make_frame_step) — per shard, so the same knob.
+    donate = ((0, 1) if os.environ.get("VMAP_DONATE", "0") == "1" else ())
+    return jax.jit(fused_step, donate_argnums=donate)
 
 
 def place_prepared(mesh, pb, axis: str | None = "obj"):
