@@ -187,6 +187,9 @@ def run(frames: int = 100, compute_dtype: str = "float32",
             "frame_ms_chunks": [round(1000 * t, 2) for t in chunk_times],
             "compile_s": round(compile_s, 1),
             "compute_dtype": compute_dtype,
+            "px_block": st.px_block, "px_block_bg": st.px_block_bg,
+            "sampling": ("reference_exact" if st.px_block == 1
+                         else f"blocked_px{st.px_block}"),
             "path": "fused_pallas" if fused else "xla_scan",
             "dispatch_burst": burst,
             "loss_final": last_loss(m),
