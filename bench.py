@@ -40,6 +40,7 @@ def build_workload(compute_dtype: str = "float32", fused: bool = True,
                    px_block: int = int(os.environ.get("BENCH_PX_BLOCK", "1")),
                    px_block_bg: int = int(os.environ.get("BENCH_PX_BLOCK_BG",
                                                          "4")),
+                   sample_reuse: int = int(os.environ.get("BENCH_REUSE", "1")),
                    burst: int = 1):
     import jax
     import jax.numpy as jnp
@@ -63,6 +64,7 @@ def build_workload(compute_dtype: str = "float32", fused: bool = True,
         lr=1e-3, wd=0.013, compute_dtype=compute_dtype,
         fx=600.0, fy=600.0, cx=599.5, cy=339.5,
         use_fused_frame=fused, px_block=px_block, px_block_bg=px_block_bg,
+        sample_reuse=sample_reuse,
         dispatch_burst=burst if fused else 1,
     )
 
@@ -188,8 +190,11 @@ def run(frames: int = 100, compute_dtype: str = "float32",
             "compile_s": round(compile_s, 1),
             "compute_dtype": compute_dtype,
             "px_block": st.px_block, "px_block_bg": st.px_block_bg,
-            "sampling": ("reference_exact" if st.px_block == 1
-                         else f"blocked_px{st.px_block}"),
+            "sample_reuse": st.sample_reuse,
+            "sampling": ("reference_exact"
+                         if st.px_block == 1 and st.sample_reuse == 1
+                         else f"blocked_px{st.px_block}" if st.px_block > 1
+                         else f"iter_reuse_x{st.sample_reuse}"),
             "path": "fused_pallas" if fused else "xla_scan",
             "dispatch_burst": burst,
             "loss_final": last_loss(m),

@@ -131,10 +131,19 @@ class Config:
     # or it silently falls back to 1. px_block applies to the OBJECT bank
     # (~91% of the gather elements); px_block_bg to the background bank,
     # whose whole-image row coverage degrades under blocking much earlier
-    # (docs/quality_study.json). Default 4: object quality within noise of
-    # px1 (px_block4_obj_only study) and the frame is 12% faster.
-    px_block: int = 4
+    # (docs/quality_study.json). Default 1 (reference-exact): the room-scale
+    # study measured px_block 4 at ~2.5 points of object ratio@5cm
+    # (docs/room_study.md, seed-repeated) — opt in explicitly for the ~11%
+    # throughput if that tradeoff is acceptable. px_block_bg 4 is
+    # quality-neutral at room scale and the shipped Replica configs set it.
+    px_block: int = 1
     px_block_bg: int = 1
+    # iteration-reuse sampling (object bank): R > 1 draws pixels for
+    # n_iter/R iteration-blocks per frame and cycles them epochs-style
+    # (fresh per-iteration z), cutting the pool-gather Rx with pixels
+    # still individually uniform — see core/step.py sample_reuse. Needs
+    # n_iter_per_frame % R == 0 or it falls back to 1 with a warning.
+    sample_reuse: int = 1
 
     raw: dict = field(default_factory=dict, repr=False)
 
@@ -240,6 +249,7 @@ class Config:
         c.fused_train_step = g("tpu.fused_train_step", c.fused_train_step)
         c.px_block = int(g("tpu.px_block", c.px_block))
         c.px_block_bg = int(g("tpu.px_block_bg", c.px_block_bg))
+        c.sample_reuse = int(g("tpu.sample_reuse", c.sample_reuse))
         return c
 
     def fused_enabled(self) -> bool:

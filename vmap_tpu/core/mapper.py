@@ -186,6 +186,12 @@ class Mapper:
             print(f"WARNING: tpu.px_block_bg={px_block_bg} incompatible "
                   f"with H={cfg.H} / bg ray budget; falling back to 1")
             px_block_bg = 1
+        sample_reuse = getattr(cfg, "sample_reuse", 1)
+        if sample_reuse > 1 and cfg.n_iter_per_frame % sample_reuse:
+            print(f"WARNING: tpu.sample_reuse={sample_reuse} does not "
+                  f"divide iters_per_frame={cfg.n_iter_per_frame}; "
+                  f"falling back to 1")
+            sample_reuse = 1
         self.statics = StepStatics(
             n_iter=cfg.n_iter_per_frame,
             win=cfg.win_size, n_px=cfg.n_samples_per_frame,
@@ -202,6 +208,7 @@ class Mapper:
             shard_data_axis=(self.mesh is not None
                              and self.mesh.shape["data"] > 1),
             px_block=px_block, px_block_bg=px_block_bg,
+            sample_reuse=sample_reuse,
         )
         # burst dispatch (fused single-host only): K frames per device
         # dispatch amortise the tunnel's flat ~0.5-1.4 ms non-overlapped

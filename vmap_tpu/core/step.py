@@ -108,6 +108,18 @@ class StepStatics:
     # — and the object bank owns ~91% of the gather elements anyway.
     px_block: int = 1
     px_block_bg: int = 1
+    # iteration-reuse sampling (object bank): R > 1 draws the pixel batch
+    # for only n_iter/R iteration-blocks and CYCLES them across the frame's
+    # n_iter iterations (each block trained R times, epochs-style), with
+    # per-iteration z samples still drawn fresh. Cuts the pool-gather
+    # element count Rx — the dominant non-kernel cost at px_block 1 —
+    # while every pixel stays individually uniform inside the bbox
+    # (vmap.py:343-351), unlike px_block's spatially-clustered runs. The
+    # deviation from the reference is across-ITERATION freshness only
+    # (reference redraws every iteration, train.py:270-326). Requires
+    # n_iter % R == 0. Background keeps fresh draws (its gather is ~9% of
+    # the elements; see px_block_bg for its own knob).
+    sample_reuse: int = 1
 
 
 def _kernel_mm_policy(compute_dtype: str) -> str:
@@ -135,7 +147,7 @@ def pick_group(capacity: int, hidden: int) -> int:
 def _sample_bank(key, pool_packed, pool_twc,
                  kf_pool_slot, kf_bbox, n_kf, latest2, obj_ids,
                  n_frames: int, n_px: int, n_b2s: int, st: StepStatics,
-                 keys=None, px_block: int | None = None):
+                 keys=None, px_block: int | None = None, reuse: int = 1):
     """Vectorised training-sample gather for a whole bank.
 
     Returns dict of [cap, n_frames*n_px, ...] arrays (rays flattened like
@@ -154,31 +166,34 @@ def _sample_bank(key, pool_packed, pool_twc,
 
     L = st.px_block if px_block is None else px_block
     assert n_px % L == 0 and H % L == 0, (n_px, H, L)
+    assert n_frames % reuse == 0, (n_frames, reuse)
+    n_eff = n_frames // reuse     # keyframe picks actually drawn/gathered
     n_rays = n_frames * n_px
+    n_rays_eff = n_eff * n_px
     f32 = jnp.float32
 
     def sample_one(key, kf_pool, bbox_tab, n_kf1, latest2_1, obj_id):
         k_kf, k_u, k_v, k_z = jax.random.split(key, 4)
         n_safe = jnp.maximum(n_kf1, 1)
         ids_a = jnp.floor(
-            jax.random.uniform(k_kf, (n_frames,)) * n_safe).astype(jnp.int32)
+            jax.random.uniform(k_kf, (n_eff,)) * n_safe).astype(jnp.int32)
         ids_a = jnp.minimum(ids_a, n_safe - 1)
-        ids_b = jnp.concatenate([ids_a[: n_frames - 2], latest2_1.astype(jnp.int32)])
+        ids_b = jnp.concatenate([ids_a[: n_eff - 2], latest2_1.astype(jnp.int32)])
         kf_local = jnp.where(n_kf1 > 2, ids_b, ids_a)
 
-        bbox = bbox_tab[kf_local]  # [n_frames, 4] = [u0, u1, v0, v1]
-        pool_ids = kf_pool[kf_local]  # [n_frames]
+        bbox = bbox_tab[kf_local]  # [n_eff, 4] = [u0, u1, v0, v1]
+        pool_ids = kf_pool[kf_local]  # [n_eff]
         pid = pool_ids[:, None]
         if L == 1:
-            uu = jax.random.uniform(k_u, (n_frames, n_px))
-            vv = jax.random.uniform(k_v, (n_frames, n_px))
+            uu = jax.random.uniform(k_u, (n_eff, n_px))
+            vv = jax.random.uniform(k_v, (n_eff, n_px))
             u = jnp.floor(uu * (bbox[:, 1] - bbox[:, 0])[:, None]
                           + bbox[:, 0][:, None])
             v = jnp.floor(vv * (bbox[:, 3] - bbox[:, 2])[:, None]
                           + bbox[:, 2][:, None])
             u = jnp.clip(u.astype(jnp.int32), 0, W - 1)
             v = jnp.clip(v.astype(jnp.int32), 0, H - 1)
-            g = pool_packed[pid, u, v]                # [NF, NP, 2] u32
+            g = pool_packed[pid, u, v]                # [n_eff, NP, 2] u32
         else:
             # block mode: draw n_px/L (u, v-block) pairs; each gather pulls
             # an L-run of v-contiguous pixels from the L-aligned grid. Same
@@ -187,8 +202,8 @@ def _sample_bank(key, pool_packed, pool_twc,
             # bbox, so coverage matches the per-pixel draw up to <=L-1 px
             # of block-edge spill (bboxes are enlarged by 0.2 anyway).
             nb = n_px // L
-            uu = jax.random.uniform(k_u, (n_frames, nb))
-            vv = jax.random.uniform(k_v, (n_frames, nb))
+            uu = jax.random.uniform(k_u, (n_eff, nb))
+            vv = jax.random.uniform(k_v, (n_eff, nb))
             u_b = jnp.floor(uu * (bbox[:, 1] - bbox[:, 0])[:, None]
                             + bbox[:, 0][:, None])
             u_b = jnp.clip(u_b.astype(jnp.int32), 0, W - 1)
@@ -199,17 +214,17 @@ def _sample_bank(key, pool_packed, pool_twc,
             v_b = jnp.clip(v_b.astype(jnp.int32), 0, H // L - 1)
             pool_r = pool_packed.reshape(
                 pool_packed.shape[0], W, H // L, L, 2)
-            g = pool_r[pid, u_b, v_b]                 # [NF, nb, L, 2]
-            g = g.reshape(n_frames, n_px, 2)
+            g = pool_r[pid, u_b, v_b]                 # [n_eff, nb, L, 2]
+            g = g.reshape(n_eff, n_px, 2)
             u = jnp.repeat(u_b, L, axis=1)
             v = (v_b[:, :, None] * L
-                 + jnp.arange(L, dtype=jnp.int32)).reshape(n_frames, n_px)
+                 + jnp.arange(L, dtype=jnp.int32)).reshape(n_eff, n_px)
         # Layout note (round 3): everything below the gather runs on FLAT
         # [n_rays] arrays (full 128-lane vreg density) with vec3/sample
         # axes LEADING — the original [NF, NP(, 3|S)] layouts put 24-, 3-
         # or 10-wide axes in the lanes and paid a 5-12x VPU density tax
         # (the sampler was ~2.6 ms of the frame; see docs/round_notes.md).
-        g = g.reshape(n_rays, 2)
+        g = g.reshape(n_rays_eff, 2)
         w0 = g[:, 0]
         w1 = g[:, 1]
         rgb_sm = (jnp.stack([w0 & 255, (w0 >> 8) & 255, (w0 >> 16) & 255],
@@ -228,13 +243,25 @@ def _sample_bank(key, pool_packed, pool_twc,
         rot = twc[:, :3, :3]
         dirs_sm = jnp.stack([
             (rot[:, i, 0][:, None] * dx + rot[:, i, 1][:, None] * dy
-             + rot[:, i, 2][:, None]).reshape(n_rays)
-            for i in range(3)], axis=0)               # [3, NR]
-        org = twc[:, :3, 3]                           # [NF, 3]
+             + rot[:, i, 2][:, None]).reshape(n_rays_eff)
+            for i in range(3)], axis=0)               # [3, NR_eff]
+        org = twc[:, :3, 3]                           # [n_eff, 3]
         origins_sm = jnp.stack([
             jnp.broadcast_to(org[:, i][:, None],
-                             (n_frames, n_px)).reshape(n_rays)
-            for i in range(3)], axis=0)               # [3, NR]
+                             (n_eff, n_px)).reshape(n_rays_eff)
+            for i in range(3)], axis=0)               # [3, NR_eff]
+
+        if reuse > 1:
+            # cycle the drawn iteration-blocks across the frame: rays
+            # [0, NR_eff) repeat `reuse` times, so iteration i trains on
+            # block (i mod n_iter/reuse). z samples are drawn fresh per
+            # iteration BELOW this point (full n_rays), matching the
+            # reference's per-iteration depth jitter.
+            tile = lambda a: jnp.tile(a, (reuse,) if a.ndim == 1
+                                      else (1, reuse))  # noqa: E731
+            rgb_sm, depth, state, origins_sm, dirs_sm = (
+                tile(rgb_sm), tile(depth), tile(state),
+                tile(origins_sm), tile(dirs_sm))
 
         max_bound = jnp.max(depth)
         z_sm, valid = S.sample_z_sm(k_z, depth, state, st.min_depth,
@@ -327,6 +354,7 @@ def make_frame_step(st: StepStatics):
     n_frames_bg = st.n_iter * st.win_bg
     n_per = st.win * st.n_px          # rays per obj per iteration
     n_per_bg = st.win_bg * st.n_px_bg
+    assert st.n_iter % st.sample_reuse == 0, (st.n_iter, st.sample_reuse)
 
     if st.use_fused_frame:
         from vmap_tpu.kernels.train_step import fused_frame_prepared
@@ -347,7 +375,8 @@ def make_frame_step(st: StepStatics):
             k_obj, k_bg = jax.random.split(key)
             batch = _sample_bank(k_obj, pool_packed, pool_twc,
                                  *obj_tab, obj_ids,
-                                 n_frames, st.n_px, st.n_b2s, st)
+                                 n_frames, st.n_px, st.n_b2s, st,
+                                 reuse=st.sample_reuse)
             pb_obj, losses_o = fused_frame_prepared(
                 pb_obj, batch, st.n_iter, n_per, lr=st.lr, wd=st.wd,
                 color_scaling=st.color_scaling,
@@ -417,7 +446,8 @@ def make_frame_step(st: StepStatics):
         k_obj, k_bg = jax.random.split(key)
         batch = _ray_major(_sample_bank(k_obj, pool_packed, pool_twc,
                                         *obj_tab, obj_ids,
-                                        n_frames, st.n_px, st.n_b2s, st))
+                                        n_frames, st.n_px, st.n_b2s, st,
+                                        reuse=st.sample_reuse))
         if st.do_bg:
             bg_ids = jnp.zeros((1,), jnp.int32)  # background is instance 0
             batch_bg = _ray_major(_sample_bank(
@@ -499,7 +529,7 @@ def make_fused_step_sharded(st: StepStatics, mesh):
                    obj_tab, obj_ids, bg_tab, k_bg):
         batch = _sample_bank(None, pool_packed, pool_twc, *obj_tab,
                              obj_ids, n_frames, st.n_px, st.n_b2s, st,
-                             keys=keys)
+                             keys=keys, reuse=st.sample_reuse)
         pb_obj, losses_o = fused_frame_prepared(
             pb_obj, batch, st.n_iter, n_per, lr=st.lr, wd=st.wd,
             color_scaling=st.color_scaling,
