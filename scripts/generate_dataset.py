@@ -83,6 +83,15 @@ def main(argv=None):
         objs, shell, meta = make_room_scene(args.objects, seed=args.seed,
                                             ply_dir=ply_dir)
         objects = objs + shell
+        if args.format == "ScanNet":
+            # the room builder tags Replica semantics; remap to the ScanNet
+            # vocabulary so the shell folds to background in that loader
+            # (see room.SCANNET_CLS_MAP)
+            import dataclasses
+            from vmap_tpu.data_generation.room import SCANNET_CLS_MAP
+            objects = [dataclasses.replace(
+                o, class_id=SCANNET_CLS_MAP.get(o.class_id, o.class_id))
+                for o in objects]
         traj = room_trajectory(args.frames, size=meta["size"],
                                seed=args.seed)
         st = RenderSettings(width=args.width, height=args.height,

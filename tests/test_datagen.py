@@ -145,6 +145,24 @@ def test_scannet_layout_roundtrip(tmp_path):
     np.testing.assert_allclose(s["depth"], frames[2]["depth"], atol=2e-3)
 
 
+def test_room_class_vocabulary_folds_in_both_loaders():
+    """The room's shell must fold to background in WHICHEVER loader reads
+    the written layout: Replica ids as-built, ScanNet ids after
+    SCANNET_CLS_MAP (round-4 regression: an unmapped ScanNet room turned
+    walls/floor/ceiling into room-sized foreground objects)."""
+    from vmap_tpu.data.replica import BACKGROUND_CLASSES as REPLICA_BG
+    from vmap_tpu.data.scannet import BACKGROUND_CLASSES as SCANNET_BG
+    from vmap_tpu.data_generation.room import SCANNET_CLS_MAP, make_room_scene
+    objs, shell, _ = make_room_scene(6, seed=0)
+    for o in shell:
+        assert o.class_id in REPLICA_BG, o.class_id
+        assert SCANNET_CLS_MAP[o.class_id] in SCANNET_BG, o.class_id
+    for o in objs:
+        assert o.class_id not in REPLICA_BG, o.class_id
+        mapped = SCANNET_CLS_MAP.get(o.class_id, o.class_id)
+        assert mapped not in SCANNET_BG, (o.class_id, mapped)
+
+
 def test_ply_furniture_room(tmp_path):
     """write_ply_library -> make_room_scene(ply_dir=...) loads complex
     mesh-file furniture (the reference renders real Replica assets,

@@ -30,6 +30,17 @@ from vmap_tpu.geometry.primitives import box, cylinder, icosphere
 # are arbitrary non-background ids
 FLOOR_CLS, WALL_CLS, CEIL_CLS = 40, 93, 31
 
+# The same geometry written as a ScanNet-layout sequence needs ScanNet's
+# semantic vocabulary: the ScanNet loader folds dataset.py:186-187's
+# background ids {1, 3, 16, 41, ...} (data/scannet.py:31), in which
+# Replica's shell ids 40/93/31 are FOREGROUND — an unmapped room turns
+# its walls/floor/ceiling into room-sized "objects" that starve the real
+# instances and poison the 3D-box association (diagnosed round 4,
+# docs/room_study.md scannet300). Shell remaps onto ScanNet background
+# ids (wall->1, floor->3, ceiling->41); chair(3) and shelf(16) move OFF
+# the ScanNet background set.
+SCANNET_CLS_MAP = {FLOOR_CLS: 3, WALL_CLS: 1, CEIL_CLS: 41, 3: 5, 16: 10}
+
 
 def _aabb(mesh: Mesh) -> tuple[np.ndarray, np.ndarray]:
     return mesh.vertices.min(0), mesh.vertices.max(0)
