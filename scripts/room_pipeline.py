@@ -43,6 +43,9 @@ def main(argv=None):
                    help="override tpu.px_block_bg")
     p.add_argument("--compute_dtype", default=None,
                    help="override tpu.compute_dtype (e.g. int8)")
+    p.add_argument("--sample_reuse", type=int, default=None,
+                   help="override tpu.sample_reuse (iteration-reuse "
+                        "sampling, core/step.py)")
     p.add_argument("--train_seed", type=int, default=None,
                    help="override tpu.seed (repeat-run variance studies)")
     p.add_argument("--grid_dim", type=int, default=128)
@@ -77,6 +80,8 @@ def main(argv=None):
         tag += f"_bg{args.px_block_bg}"
     if args.compute_dtype is not None:
         tag += f"_{args.compute_dtype}"
+    if args.sample_reuse is not None:
+        tag += f"_reuse{args.sample_reuse}"
     if args.train_seed is not None:
         tag += f"_seed{args.train_seed}"
     if args.tag is not None:
@@ -147,6 +152,8 @@ def main(argv=None):
         cfg["trainer"]["n_models"] = args.n_models
     if args.compute_dtype is not None:
         cfg["tpu"]["compute_dtype"] = args.compute_dtype
+    if args.sample_reuse is not None:
+        cfg["tpu"]["sample_reuse"] = args.sample_reuse
     if args.train_seed is not None:
         cfg["tpu"]["seed"] = args.train_seed
     cfg_path = os.path.join(args.work, f"room_config_{tag}.json")

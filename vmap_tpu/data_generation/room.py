@@ -327,6 +327,11 @@ def make_room_scene(n_objects: int = 40, seed: int = 0,
         mesh = _rot_y(build(rng), rng.uniform(0, 2 * np.pi))
         mn, mx = _aabb(mesh)
         rad = float(max(mx[0] - mn[0], mx[2] - mn[2])) / 2 + 0.10
+        if rad >= min(sx, sz) / 2 - margin:
+            # piece too wide to place anywhere (a large loaded-PLY draw
+            # can exceed the placeable half-extent; uniform(lo, hi) with
+            # hi < lo raises) — redraw
+            continue
         x = rng.uniform(-sx / 2 + margin + rad, sx / 2 - margin - rad)
         z = rng.uniform(-sz / 2 + margin + rad, sz / 2 - margin - rad)
         # keep the camera walk ellipse (0.28 x room) clear of tall objects
