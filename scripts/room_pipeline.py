@@ -182,7 +182,7 @@ def main(argv=None):
     if not args.scene_only:
         obj_path = os.path.join(args.work, f"metrics_obj_{tag}.json")
         obj_m = eval_main(["object", "--mesh_dir", mesh_dir,
-                           "--gt_dir", gt_dir,
+                           "--gt_dir", gt_dir, "--format", args.format,
                            "--frame", str(last_frame), "--out", obj_path])
 
     from vmap_tpu.geometry.mesh import Mesh, load_mesh

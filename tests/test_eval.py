@@ -173,3 +173,49 @@ def test_synthetic_depth_respects_max_depth():
     # the clamp must not wipe out the scene: most pixels still valid
     _, depth, _, _ = scene.render(0, n_frames=12)
     assert (depth > 0).mean() > 0.4
+
+
+def test_object_eval_scannet_id_offset_and_bg_vocab(tmp_path):
+    """ScanNet-format object eval maps recon id N -> GT submesh N-1 (the
+    loader's +1 instance shift, scannet.py / reference dataset.py:247) and
+    builds the bg mesh from the SCANNET background-class vocabulary.
+    Regression: the first scored ScanNet room run compared every object
+    against the wrong GT (and the bg against Replica-vocab classes that
+    collide with ScanNet furniture ids), scoring 32 cm mean accuracy on
+    1.8 cm fields (docs/room_study.md run 4)."""
+    import json
+    from vmap_tpu.eval.eval_3d import main as eval_main
+
+    mesh_dir = tmp_path / "mesh"
+    gt_dir = tmp_path / "gt"
+    mesh_dir.mkdir(); gt_dir.mkdir()
+    a = _icosphere(0.5, subdiv=1)
+    b = _icosphere(0.3, center=(4, 0, 0), subdiv=1)
+    wall = _icosphere(1.0, center=(-6, 0, 0), subdiv=1)
+    # GT ids 1, 2 (+ wall 3); recon ids are shifted +1 -> obj2, obj3
+    a.export(str(gt_dir / "mesh_semantic.ply_1.ply"))
+    b.export(str(gt_dir / "mesh_semantic.ply_2.ply"))
+    wall.export(str(gt_dir / "mesh_semantic.ply_3.ply"))
+    # class 5 is ScanNet furniture but REPLICA background -> the old
+    # Replica-vocab bg concat wrongly swallowed it; class 1 = ScanNet wall
+    info = {"objects": [{"id": 1, "class_id": 5}, {"id": 2, "class_id": 20},
+                        {"id": 3, "class_id": 1}]}
+    (gt_dir / "info_semantic.json").write_text(json.dumps(info))
+    a.export(str(mesh_dir / "frame_9_obj2.obj"))
+    b.export(str(mesh_dir / "frame_9_obj3.obj"))
+    wall.export(str(mesh_dir / "frame_9_obj0.obj"))
+
+    res = eval_main(["object", "--mesh_dir", str(mesh_dir),
+                     "--gt_dir", str(gt_dir), "--format", "ScanNet",
+                     "--frame", "9", "--n_points", "2000"])
+    # identical meshes under the CORRECT mapping -> point-sampling noise
+    # only (~1 cm at n_points=2000 on a subdiv-1 icosphere)
+    assert res["mean"]["accuracy"] < 0.03
+    assert res["per_object"][2]["completion"] < 0.03
+    assert res["per_object"][0]["accuracy"] < 0.03  # bg vs ScanNet wall
+    # Replica mode mis-pairs every id (obj2 vs GT2 etc.) -> large error
+    res_rep = eval_main(["object", "--mesh_dir", str(mesh_dir),
+                         "--gt_dir", str(gt_dir),
+                         "--frame", "9", "--n_points", "2000"])
+    # mis-paired GT empties the crop (NaN mean) or scores metres of error
+    assert not (res_rep["mean"]["accuracy"] < 0.5)

@@ -54,18 +54,31 @@ def run_scene(args) -> dict:
 
 def run_object(args) -> dict:
     obj_ids = object_ids_in_dir(args.mesh_dir)
+    id_offset = getattr(args, "id_offset", 0)
+    bg_classes = REPLICA_BACKGROUND_CLASSES
+    if getattr(args, "format", "Replica") == "ScanNet":
+        # ScanNet-format runs: the loader shifts instance ids +1 so 0 is
+        # free for background (reference dataset.py:247), and the GT
+        # vocabulary is the ScanNet background set, not Replica's. The
+        # reference has no ScanNet object protocol (eval_3D_obj.py is
+        # Replica-only); this extension keeps its Replica semantics but
+        # maps ids/classes through the ScanNet conventions.
+        from vmap_tpu.data.scannet import BACKGROUND_CLASSES as SCANNET_BG
+        bg_classes = sorted(c for c in SCANNET_BG if c > 0)
+        id_offset = 1 if id_offset == 0 else id_offset
     per_obj, agg = {}, []
     for oid in obj_ids:
         rec_file = os.path.join(args.mesh_dir, f"frame_{args.frame}_obj{oid}.obj")
         if not os.path.exists(rec_file):
             continue
         if oid == 0:
-            gt = gt_background_mesh(args.gt_dir)
+            gt = gt_background_mesh(args.gt_dir, background_classes=bg_classes)
             n = 200000
         else:
-            p = os.path.join(args.gt_dir, f"mesh_semantic.ply_{oid}.ply")
+            gt_id = oid - id_offset
+            p = os.path.join(args.gt_dir, f"mesh_semantic.ply_{gt_id}.ply")
             if not os.path.exists(p):
-                print(f"obj {oid}: no GT submesh, skipped")
+                print(f"obj {oid}: no GT submesh (gt id {gt_id}), skipped")
                 continue
             gt = load_mesh(p)
             n = args.n_points
@@ -103,6 +116,14 @@ def main(argv=None):
     po.add_argument("--gt_dir", required=True)
     po.add_argument("--frame", type=int, required=True)
     po.add_argument("--n_points", type=int, default=10000)
+    po.add_argument("--format", choices=["Replica", "ScanNet"],
+                    default="Replica",
+                    help="dataset family: ScanNet shifts recon object ids "
+                         "-1 back to GT ids and uses the ScanNet "
+                         "background-class vocabulary for the bg mesh")
+    po.add_argument("--id_offset", type=int, default=0,
+                    help="recon obj id minus GT submesh id (ScanNet "
+                         "defaults to 1)")
     po.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
