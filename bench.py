@@ -124,8 +124,13 @@ def run(frames: int = 100, compute_dtype: str = "float32",
     # all per-frame keys pre-split to HOST arrays: a per-frame device-side
     # fold_in/split is its own dispatch (~0.8 ms tunnel latency each); a
     # numpy uint32[2] key rides the train dispatch as an 8-byte transfer
+    # one warmup dispatch + 5 chunks of max(frames//5//burst, 1) dispatches,
+    # `burst` keys consumed per dispatch: at tiny --frames the per-chunk
+    # floor of 1 needs more keys than `frames`, so size the pool from the
+    # dispatch count, not the ask
+    n_keys = 1 + (1 + 5 * max(frames // 5 // burst, 1)) * burst
     all_keys = np.asarray(jax.random.split(jax.random.PRNGKey(42),
-                                           frames + burst))
+                                           max(frames + burst, n_keys)))
 
     if burst > 1:
         # workload-identical burst: the same keyframe tables for each of
