@@ -292,7 +292,13 @@ def load_full_checkpoint(mapper, file: str) -> int:
                 and not os.path.exists(os.path.join(file, "host_state.pkl"))
                 and os.path.exists(latest)):
             with open(latest) as f:
-                file = json.load(f)["file"]
+                stored = json.load(f)["file"]
+            # the pointer stores an absolute path recorded at save time;
+            # resolve it relative to the parent dir first so a checkpoint
+            # tree copied to another machine/path (the TPU-train -> CPU-
+            # remesh workflow) still loads, falling back to the stored path
+            local = os.path.join(file, os.path.basename(stored.rstrip("/")))
+            file = local if os.path.exists(local) else stored
         return load_full_checkpoint_orbax(mapper, file)
     with open(file, "rb") as f:
         state = pickle.load(f)

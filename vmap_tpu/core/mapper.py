@@ -58,10 +58,14 @@ class _LazyMetric:
         self._name = name
 
     def __float__(self):
-        r = self._mapper._burst_results.get(self._seq)
+        m = self._mapper
+        r = m._burst_results.get(self._seq)
         if r is None:
-            self._mapper._flush_burst()
-            r = self._mapper._burst_results[self._seq]
+            old = m._resolved_metrics.get(self._seq)
+            if old is not None:          # evicted from the device-ref dict
+                return old[self._name]   # but resolved to a float first
+            m._flush_burst()
+            r = m._burst_results[self._seq]
         v, i = r[self._name]
         return float(v if i is None else v[i])
 
@@ -223,6 +227,7 @@ class Mapper:
             self.burst = max(1, int(getattr(cfg, "dispatch_burst", 1)))
         self._burst_queue: list = []       # (seq, obj_tab, bg_tab, key)
         self._burst_results: dict = {}     # seq -> {"loss": lazy scalar, ...}
+        self._resolved_metrics: dict = {}  # evicted seq -> {"loss": float}
         self._burst_seq = 0
         self._burst_ref_slots: set = set()
         if self.burst > 1:
@@ -556,9 +561,15 @@ class Mapper:
                 self._burst_results[seq] = {k: (v, None)
                                             for k, v in ms.items()}
         self._invalidate_flat_cache()
-        if len(self._burst_results) > 4096:   # bound the lazy-loss dict
+        if len(self._burst_results) > 4096:   # bound the device-ref dict
+            # resolve evicted entries to plain floats (already-computed
+            # device scalars) so a caller holding a loss handle for >3072
+            # frames still gets a value instead of a KeyError
             for s in sorted(self._burst_results)[:-1024]:
-                del self._burst_results[s]
+                r = self._burst_results.pop(s)
+                self._resolved_metrics[s] = {
+                    k: float(v if i is None else v[i])
+                    for k, (v, i) in r.items()}
 
     def _train_frame_forloop(self) -> dict:
         """Sequential per-object training (ablation). Each active slot runs

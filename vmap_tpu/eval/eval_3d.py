@@ -54,7 +54,7 @@ def run_scene(args) -> dict:
 
 def run_object(args) -> dict:
     obj_ids = object_ids_in_dir(args.mesh_dir)
-    id_offset = getattr(args, "id_offset", 0)
+    id_offset = getattr(args, "id_offset", None)
     bg_classes = REPLICA_BACKGROUND_CLASSES
     if getattr(args, "format", "Replica") == "ScanNet":
         # ScanNet-format runs: the loader shifts instance ids +1 so 0 is
@@ -65,7 +65,10 @@ def run_object(args) -> dict:
         # maps ids/classes through the ScanNet conventions.
         from vmap_tpu.data.scannet import BACKGROUND_CLASSES as SCANNET_BG
         bg_classes = sorted(c for c in SCANNET_BG if c > 0)
-        id_offset = 1 if id_offset == 0 else id_offset
+        if id_offset is None:   # default 1 only when the flag wasn't given,
+            id_offset = 1       # so an explicit --id_offset 0 is honoured
+    if id_offset is None:
+        id_offset = 0
     per_obj, agg = {}, []
     for oid in obj_ids:
         rec_file = os.path.join(args.mesh_dir, f"frame_{args.frame}_obj{oid}.obj")
@@ -121,9 +124,10 @@ def main(argv=None):
                     help="dataset family: ScanNet shifts recon object ids "
                          "-1 back to GT ids and uses the ScanNet "
                          "background-class vocabulary for the bg mesh")
-    po.add_argument("--id_offset", type=int, default=0,
-                    help="recon obj id minus GT submesh id (ScanNet "
-                         "defaults to 1)")
+    po.add_argument("--id_offset", type=int, default=None,
+                    help="recon obj id minus GT submesh id (defaults to 1 "
+                         "for ScanNet, 0 for Replica; an explicit 0 is "
+                         "honoured for either)")
     po.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
