@@ -112,7 +112,10 @@ class Config:
     compute_dtype: str = "float32"   # or "bfloat16" (all matmuls) /
     # "bwd_bf16" (f32 forward, bf16 backward matmuls in the fused kernel) /
     # "int8" (dynamically quantised s8 MLP matmul operands in the fused
-    # kernel, 2x MXU pass rate) / "int8_fwd" (quantised forward only)
+    # kernel, 2x MXU pass rate) / "int8_fwd" (quantised forward only) /
+    # "int8_static" / "int8_static_fwd" (int8 with STATIC activation/
+    # gradient scales — no in-loop abs-max reduce; scales via
+    # VMAP_Q8_SACT/SHEAD/SGRAD env, uncalibrated by default)
     seed: int = 0
     # frames per device dispatch (fused single-host path): K > 1 queues K
     # frames' keyframe-table snapshots and trains them in ONE dispatch

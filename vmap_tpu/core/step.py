@@ -129,10 +129,15 @@ def _kernel_mm_policy(compute_dtype: str) -> str:
     gradient rounding is absorbed by AdamW's second-moment normalisation);
     "int8" -> all MLP matmul operands dynamically quantised to s8 with s32
     accumulate (2x MXU pass rate on v5e; render/loss/Adam/PE stay f32);
-    "int8_fwd" -> quantised forward only (diagnostic half-policy).
+    "int8_fwd" -> quantised forward only (diagnostic half-policy);
+    "int8_static"/"int8_static_fwd" -> as int8/int8_fwd but with static
+    activation/gradient scales (no in-loop abs-max reduce — see
+    kernels/train_step._mm_policy).
     """
     return {"float32": "f32", "bfloat16": "bf16", "bwd_bf16": "bwd_bf16",
-            "int8": "int8", "int8_fwd": "int8_fwd"}[compute_dtype]
+            "int8": "int8", "int8_fwd": "int8_fwd",
+            "int8_static": "int8_static",
+            "int8_static_fwd": "int8_static_fwd"}[compute_dtype]
 
 
 def pick_group(capacity: int, hidden: int) -> int:

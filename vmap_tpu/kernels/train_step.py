@@ -46,6 +46,7 @@ factors are data-only and precomputed outside the kernel.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import flax.struct
@@ -349,13 +350,23 @@ def _mm_policy(bf16) -> str:
     bf16 — gradient noise the masked AdamW normalises away),
     "int8" (all MLP matmul operands dynamically quantised to s8, s32
     accumulate — 2x MXU pass rate on v5e; render/loss/Adam/PE stay f32),
-    or "int8_fwd" (forward quantised, backward f32 — the diagnostic
-    half-policy for isolating gradient-quantisation quality effects)."""
+    "int8_fwd" (forward quantised, backward f32 — the diagnostic
+    half-policy for isolating gradient-quantisation quality effects),
+    or "int8_static"/"int8_static_fwd" (as int8/int8_fwd but activation
+    and gradient tensors use STATIC scales instead of the in-loop abs-max
+    reduce — round 4 measured that reduce as the dynamic policy's killer
+    at these K=128-384 shapes, ~5 VPU passes per operand tile; static
+    scales leave only rescale+clip+round+cast. Scales are compile-time
+    constants, env-tunable via VMAP_Q8_SACT/SHEAD/SGRAD; a production
+    deployment would calibrate them from the previous frame's recorded
+    maxima). Weights stay dynamically quantised once per iteration in all
+    int8 policies (amortised, not on the per-chunk critical path)."""
     if bf16 is True:
         return "bf16"
     if bf16 is False:
         return "f32"
-    assert bf16 in ("f32", "bf16", "bwd_bf16", "int8", "int8_fwd"), bf16
+    assert bf16 in ("f32", "bf16", "bwd_bf16", "int8", "int8_fwd",
+                    "int8_static", "int8_static_fwd"), bf16
     return bf16
 
 
@@ -406,11 +417,13 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
     # bdt: backward matmul operand dtype.
     cdt = jnp.bfloat16 if policy == "bf16" else f32
     bdt = jnp.bfloat16 if policy in ("bf16", "bwd_bf16") else f32
-    # int8 policies: forward / backward MLP matmul operands dynamically
-    # quantised to s8 (s32 accumulate, 2x MXU pass rate on v5e). PE maths,
-    # render/loss, Adam and the dirs-projection matmuls stay f32.
-    q8f = policy in ("int8", "int8_fwd")
-    q8b = policy == "int8"
+    # int8 policies: forward / backward MLP matmul operands quantised to
+    # s8 (s32 accumulate, 2x MXU pass rate on v5e). PE maths, render/loss,
+    # Adam and the dirs-projection matmuls stay f32. q8s selects STATIC
+    # activation/gradient scales (no in-loop abs-max reduce).
+    q8f = policy in ("int8", "int8_fwd", "int8_static", "int8_static_fwd")
+    q8b = policy in ("int8", "int8_static")
+    q8s = policy in ("int8_static", "int8_static_fwd")
     NP = len(P_NAMES)
     NC = n_chunks
     shapes = group_layout(G, h)
@@ -510,11 +523,33 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
             xq = jnp.round(x * (1.0 / s)).astype(i8)
             return xq, s
 
+        def quant_static(x, m: float):
+            """f32 -> (s8, scale) with a STATIC expected-max ``m``: the
+            rescale/clip/round/cast only — no abs-max reduce on the chunk
+            critical path. Saturates (clips) values past m."""
+            s = m * (1.0 / 127.0)
+            xq = jnp.round(jnp.clip(x * (127.0 / m), -127.0, 127.0)
+                           ).astype(i8)
+            return xq, s
+
+        # static-scale policy constants (compile-time; a calibrating
+        # deployment would feed previous-frame maxima here instead)
+        S_ACT = float(os.environ.get("VMAP_Q8_SACT", "8.0"))
+        S_HEAD = float(os.environ.get("VMAP_Q8_SHEAD", "0.125"))
+        S_GRAD = float(os.environ.get("VMAP_Q8_SGRAD", "0.02"))
+        quant_grad_head = ((lambda x: quant_static(x, S_HEAD)) if q8s
+                           else quant_dyn)
+        quant_grad_hid = ((lambda x: quant_static(x, S_GRAD)) if q8s
+                          else quant_dyn)
+
         def quant_relu(y):
             """relu fused with quantisation (forward activations).
             Returns (s8 activation, scale, f32 relu output)."""
             r = jnp.maximum(y, 0.0)
-            xq, s = quant_dyn(r)
+            if q8s:
+                xq, s = quant_static(r, S_ACT)
+            else:
+                xq, s = quant_dyn(r)
             return xq, s, r
 
         def quant_emb(e, m):
@@ -1028,14 +1063,14 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
                                       sv["h2"], sv["h1"])
             eaq, ebq, coss, xs = (sv["emb_a"], sv["emb_b"], sv["coss"],
                                   sv["xs"])
-            daq, sda = quant_dyn(dalpha)
-            dlq, sdl = quant_dyn(dlogits)
+            daq, sda = quant_grad_head(dalpha)
+            dlq, sdl = quant_grad_head(dlogits)
             g = {}
             g["w_out"] = mmTq(dlq, cq, sdl * sc)
             g["b_out"] = jnp.sum(dlogits, 1, keepdims=True)
             dc = mTvq(qw["w_out"][0], dlq,
                       qw["w_out"][1] * sdl) * pos(cq)
-            dcq, sdc = quant_dyn(dc)
+            dcq, sdc = quant_grad_hid(dc)
             g["w_col_h"] = mmTq(dcq, h4q, sdc * s4)
             g["w_col_x"] = mmTq(dcq, ebq, sdc * (1.0 / 127.0))
             g["b_col"] = jnp.sum(dc, 1, keepdims=True)
@@ -1044,23 +1079,23 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
             dh4 = (mTvq(qw["w_col_h"][0], dcq, qw["w_col_h"][1] * sdc)
                    + mTvq(qw["w_alpha"][0], daq,
                           qw["w_alpha"][1] * sda)) * pos(h4q)
-            dh4q, sdh4 = quant_dyn(dh4)
+            dh4q, sdh4 = quant_grad_hid(dh4)
             g["w_mid2"] = mmTq(dh4q, h3q, sdh4 * s3)
             g["b_mid2"] = jnp.sum(dh4, 1, keepdims=True)
             dh3 = mTvq(qw["w_mid2"][0], dh4q,
                        qw["w_mid2"][1] * sdh4) * pos(h3q)
-            dh3q, sdh3 = quant_dyn(dh3)
+            dh3q, sdh3 = quant_grad_hid(dh3)
             g["w_cat_h"] = mmTq(dh3q, h2q, sdh3 * s2)
             g["w_cat_x"] = mmTq(dh3q, eaq, sdh3) * inv_ma_row
             g["b_cat"] = jnp.sum(dh3, 1, keepdims=True)
             dh2 = mTvq(qw["w_cat_h"][0], dh3q,
                        qw["w_cat_h"][1] * sdh3) * pos(h2q)
-            dh2q, sdh2 = quant_dyn(dh2)
+            dh2q, sdh2 = quant_grad_hid(dh2)
             g["w_mid1"] = mmTq(dh2q, h1q, sdh2 * s1)
             g["b_mid1"] = jnp.sum(dh2, 1, keepdims=True)
             dh1 = mTvq(qw["w_mid1"][0], dh2q,
                        qw["w_mid1"][1] * sdh2) * pos(h1q)
-            dh1q, sdh1 = quant_dyn(dh1)
+            dh1q, sdh1 = quant_grad_hid(dh1)
             g["w_in"] = mmTq(dh1q, eaq, sdh1) * inv_ma_row
             g["b_in"] = jnp.sum(dh1, 1, keepdims=True)
 
