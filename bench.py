@@ -106,6 +106,98 @@ def build_workload(compute_dtype: str = "float32", fused: bool = True,
     return step, st, (bank_obj, bank_bg, pool, obj_tab, obj_ids, bg_tab)
 
 
+def anchor_obj_kernel_ms() -> float:
+    """Standalone object-kernel timing at a PINNED config (cap=104, h=32,
+    full-image bbox, f32, all knob defaults) — a fixed-work anchor recorded
+    alongside the headline so cross-session comparisons of BENCH_rNN.json
+    can separate code effects from shared-tunnel frontend drift (identical
+    code measured 11.66 vs 12.79 ms frames on different days, round 4
+    notes). Changes to this function invalidate the anchor series."""
+    import jax
+    import jax.numpy as jnp
+    from vmap_tpu.core.bank import init_bank
+    from vmap_tpu.core.step import StepStatics, _sample_bank
+    from vmap_tpu.kernels.train_step import fused_frame_prepared, prepare_bank
+
+    CAP, HIDDEN, W, H, POOL, KF = 104, 32, 1200, 680, 20, 20
+    st = StepStatics(
+        n_iter=20, win=5, n_px=24, n_b2s=1, n_bins=9, do_bg=False,
+        min_depth=0.0, surface_eps=0.1, stop_eps=0.05,
+        lr=1e-3, wd=0.013, compute_dtype="float32",
+        fx=600.0, fy=600.0, cx=599.5, cy=339.5)
+    key = jax.random.PRNGKey(0)
+    bank = init_bank(key, CAP, HIDDEN, default_scale=2.0)
+    bank = bank.replace(active=jnp.ones((CAP,), bool))
+    pb = prepare_bank(bank, 4)
+    rng = np.random.default_rng(0)
+    depth_mm = rng.integers(500, 7500, (POOL, W, H)).astype(np.uint32)
+    inst_b = (rng.integers(-1, CAP, (POOL, W, H)) + 1).astype(np.uint32)
+    rgbw = rng.integers(0, 2 ** 24, (POOL, W, H)).astype(np.uint32)
+    pool = (jnp.asarray(np.stack([rgbw, depth_mm | (inst_b << 16)], -1),
+                        jnp.uint32),
+            jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (POOL, 1, 1)))
+    tab = (jnp.asarray(rng.integers(0, POOL, (CAP, KF)), jnp.int32),
+           jnp.tile(jnp.asarray([0, W, 0, H], jnp.float32), (CAP, KF, 1)),
+           jnp.full((CAP,), KF, jnp.int32),
+           jnp.tile(jnp.asarray([KF - 2, KF - 1], jnp.int32), (CAP, 1)))
+    obj_ids = jnp.arange(CAP, dtype=jnp.int32)
+    n_frames, n_per = st.n_iter * st.win, st.win * st.n_px
+    batch = jax.jit(lambda k: _sample_bank(
+        key, *pool, *tab, obj_ids, n_frames, st.n_px, st.n_b2s, st))(key)
+    batch = jax.device_put({k: v for k, v in batch.items() if k != "pts"})
+    fn = jax.jit(lambda pb, b: fused_frame_prepared(
+        pb, b, st.n_iter, n_per, lr=st.lr, wd=st.wd, bf16="f32")[1])
+    out = fn(pb, batch)
+    float(jnp.asarray(out).ravel()[0])
+    best = 1e9
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(10):
+            out = fn(pb, batch)
+        float(jnp.asarray(out).ravel()[0])
+        best = min(best, (time.time() - t0) / 10)
+    return round(best * 1000, 2)
+
+
+def verify(frames: int = 2, compute_dtype: str = "float32",
+           rtol: float = 5e-2) -> dict:
+    """On-hardware numerics gate: run ``frames`` frames through BOTH the
+    fused-Pallas and XLA-scan paths from identical initial state and keys,
+    and require per-frame loss agreement within ``rtol``.
+
+    This is a garbage/NaN catcher for hardware-only kernel failures that
+    interpret-mode exactness tests cannot see (VMAP_ALIAS=1 NaNs on v5e
+    while its interpret tests stay green, docs/round_notes.md round 4) —
+    not a bit-exactness claim: the two paths order reductions differently,
+    so percent-level drift after 20 training iterations is expected."""
+    import jax
+    from vmap_tpu.utils.compcache import enable_compilation_cache
+    enable_compilation_cache()
+
+    results = {}
+    for fused in (True, False):
+        step, st, (bo, bb, pool, obj_tab, obj_ids, bg_tab) = \
+            build_workload(compute_dtype, fused)
+        keys = np.asarray(jax.random.split(jax.random.PRNGKey(42),
+                                           frames + 1))
+        losses = []
+        for i in range(frames):
+            bo, bb, m = step(bo, bb, *pool, obj_tab, obj_ids, bg_tab,
+                             keys[i])
+            losses.append((float(np.asarray(m["loss"]).ravel()[-1]),
+                           float(np.asarray(m["loss_mean"]).ravel()[-1])))
+        results["fused_pallas" if fused else "xla_scan"] = losses
+    fu, xl = results["fused_pallas"], results["xla_scan"]
+    rel = [abs(a - b) / max(abs(b), 1e-9)
+           for (a, _), (b, _) in zip(fu, xl)]
+    ok = (all(np.isfinite(v) for pair in fu + xl for v in pair)
+          and max(rel) < rtol)
+    return {"metric": "fused_vs_xla_loss_reldiff", "value": round(max(rel), 6),
+            "unit": "rel", "ok": bool(ok), "rtol": rtol,
+            "detail": {"fused_losses": fu, "xla_losses": xl,
+                       "frames": frames, "compute_dtype": compute_dtype}}
+
+
 def run(frames: int = 100, compute_dtype: str = "float32",
         fused: bool = True) -> dict:
     import jax
@@ -178,11 +270,21 @@ def run(frames: int = 100, compute_dtype: str = "float32",
         t0 = time.time()
         for i in range(per_chunk):
             bank_obj, bank_bg, m = one_frame(
-                bank_obj, bank_bg, key_arg(1 + (c * per_chunk + i) * burst))
+                bank_obj, bank_bg,
+                # warmup consumed all_keys[0:burst]; timed chunks start at
+                # index `burst` so no warmup key repeats in the RNG stream
+                key_arg(burst + (c * per_chunk + i) * burst))
         last_loss(m)  # forces completion of the full chain
         chunk_times.append((time.time() - t0) / (per_chunk * burst))
     frame_s = min(chunk_times)
     frame_s_med = sorted(chunk_times)[len(chunk_times) // 2]
+
+    anchor = None
+    if os.environ.get("BENCH_ANCHOR", "1") != "0" and fused:
+        try:
+            anchor = anchor_obj_kernel_ms()
+        except Exception as e:  # never let the anchor sink the headline
+            print(f"anchor skipped: {e!r}", file=sys.stderr)
 
     sps = st.n_iter / frame_s
     return {
@@ -208,13 +310,25 @@ def run(frames: int = 100, compute_dtype: str = "float32",
             "dispatch_burst": burst,
             "loss_final": last_loss(m),
             "backend": jax.devices()[0].platform,
+            # fixed-work anchor: standalone obj kernel at a pinned config,
+            # for cross-session frontend-drift attribution (see
+            # anchor_obj_kernel_ms). null if its compile fails/times out.
+            "anchor_obj_kernel_ms": anchor,
         },
     }
 
 
 if __name__ == "__main__":
-    frames = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    dtype = sys.argv[2] if len(sys.argv) > 2 else "float32"
-    fused = not (len(sys.argv) > 3 and sys.argv[3] == "xla")
+    argv = [a for a in sys.argv[1:] if a != "--verify"]
+    if "--verify" in sys.argv[1:]:
+        # on-hardware fused-vs-XLA numerics gate (run at the top of every
+        # bench session; exits 1 on disagreement/NaN)
+        result = verify(int(argv[0]) if argv else 2,
+                        argv[1] if len(argv) > 1 else "float32")
+        print(json.dumps(result))
+        sys.exit(0 if result["ok"] else 1)
+    frames = int(argv[0]) if argv else 100
+    dtype = argv[1] if len(argv) > 1 else "float32"
+    fused = not (len(argv) > 2 and argv[2] == "xla")
     result = run(frames, dtype, fused)
     print(json.dumps(result))
