@@ -152,7 +152,8 @@ def pick_group(capacity: int, hidden: int) -> int:
 def _sample_bank(key, pool_packed, pool_twc,
                  kf_pool_slot, kf_bbox, n_kf, latest2, obj_ids,
                  n_frames: int, n_px: int, n_b2s: int, st: StepStatics,
-                 keys=None, px_block: int | None = None, reuse: int = 1):
+                 keys=None, px_block: int | None = None, reuse: int = 1,
+                 tile_pixels: bool = True):
     """Vectorised training-sample gather for a whole bank.
 
     Returns dict of [cap, n_frames*n_px, ...] arrays (rays flattened like
@@ -170,6 +171,21 @@ def _sample_bank(key, pool_packed, pool_twc,
     H = pool_packed.shape[2]
 
     L = st.px_block if px_block is None else px_block
+    if L > 1 and pool_packed.size * 4 >= 2 ** 31:
+        # XLA:TPU backend fault (measured 2026-08-20, docs/round_notes.md
+        # round 5): block-slice gathers ([L, 2]-slice per index) from pool
+        # arrays >= 2 GiB die with "TPU backend error (Internal)" at the
+        # first readback, while the per-pixel 2xu32 gather on the same
+        # array works. Demote to the per-pixel path (px_block 1 — the
+        # reference-exact sampling) on jumbo pools; trace-time branch, so
+        # this costs nothing when the pool is small.
+        import warnings
+        warnings.warn(
+            f"px_block {L} demoted to 1: frame pool is "
+            f"{pool_packed.size * 4 / 2**30:.2f} GiB and block-slice "
+            "gathers from >=2 GiB arrays fault in the XLA:TPU backend "
+            "(see docs/round_notes.md round 5)")
+        L = 1
     assert n_px % L == 0 and H % L == 0, (n_px, H, L)
     assert n_frames % reuse == 0, (n_frames, reuse)
     n_eff = n_frames // reuse     # keyframe picks actually drawn/gathered
@@ -256,12 +272,20 @@ def _sample_bank(key, pool_packed, pool_twc,
                              (n_eff, n_px)).reshape(n_rays_eff)
             for i in range(3)], axis=0)               # [3, NR_eff]
 
-        if reuse > 1:
+        if reuse > 1 and tile_pixels:
             # cycle the drawn iteration-blocks across the frame: rays
             # [0, NR_eff) repeat `reuse` times, so iteration i trains on
             # block (i mod n_iter/reuse). z samples are drawn fresh per
             # iteration BELOW this point (full n_rays), matching the
             # reference's per-iteration depth jitter.
+            #
+            # tile_pixels=False (the fused path) SKIPS these tiles: the
+            # pixel arrays stay at NR_eff and kernels/train_step.py
+            # _prepare_batch(reuse=R) repeats them along the iteration
+            # axis of the final kernel-layout operands instead —
+            # bit-identical operands, ~R x less sampler/relayout work
+            # (the gather, dirs math and layout chains all run at 1/R
+            # size; only z stays full because it is fresh per iteration).
             tile = lambda a: jnp.tile(a, (reuse,) if a.ndim == 1
                                       else (1, reuse))  # noqa: E731
             rgb_sm, depth, state, origins_sm, dirs_sm = (
@@ -271,13 +295,24 @@ def _sample_bank(key, pool_packed, pool_twc,
         max_bound = jnp.max(depth)
         z_sm, valid = S.sample_z_sm(k_z, depth, state, st.min_depth,
                                     max_bound, n_b2s, st.n_bins,
-                                    st.surface_eps, st.stop_eps)  # [S, NR]
+                                    st.surface_eps, st.stop_eps,
+                                    reuse=1 if tile_pixels else reuse)
+        # tile_pixels=False: pixel arrays/valid [NR_eff], z fresh [S, NR]
         return rgb_sm, depth, state, valid, z_sm, origins_sm, dirs_sm
 
     if keys is None:
         keys = jax.random.split(key, cap)
     rgb_sm, depth, state, valid, z_sm, origins_sm, dirs_sm = jax.vmap(
         sample_one)(keys, kf_pool_slot, kf_bbox, n_kf, latest2, obj_ids)
+    if reuse > 1 and not tile_pixels:
+        # untiled fused-path batch: pixel arrays cover n_frames/reuse rays,
+        # z_sm is full-size; the ray-major views below would be shape-
+        # inconsistent, and the fused kernel never reads them.
+        return {
+            "rgb_sm": rgb_sm, "depth": depth, "state": state,
+            "valid": valid, "z_sm": z_sm,
+            "origins_sm": origins_sm, "dirs_sm": dirs_sm,
+        }
     # Production (fused-kernel) consumers read the *_sm channel/sample-
     # major keys; the legacy ray-major views below serve the XLA scan path
     # and are DCE'd under jit when unused.
@@ -381,11 +416,12 @@ def make_frame_step(st: StepStatics):
             batch = _sample_bank(k_obj, pool_packed, pool_twc,
                                  *obj_tab, obj_ids,
                                  n_frames, st.n_px, st.n_b2s, st,
-                                 reuse=st.sample_reuse)
+                                 reuse=st.sample_reuse, tile_pixels=False)
             pb_obj, losses_o = fused_frame_prepared(
                 pb_obj, batch, st.n_iter, n_per, lr=st.lr, wd=st.wd,
                 color_scaling=st.color_scaling,
-                opacity_scaling=st.opacity_scaling, bf16=bf16)
+                opacity_scaling=st.opacity_scaling, bf16=bf16,
+                reuse=st.sample_reuse)
             loss = losses_o[:, -1].sum()
             loss_mean = losses_o.sum(0).mean()
             if st.do_bg:
@@ -534,11 +570,13 @@ def make_fused_step_sharded(st: StepStatics, mesh):
                    obj_tab, obj_ids, bg_tab, k_bg):
         batch = _sample_bank(None, pool_packed, pool_twc, *obj_tab,
                              obj_ids, n_frames, st.n_px, st.n_b2s, st,
-                             keys=keys, reuse=st.sample_reuse)
+                             keys=keys, reuse=st.sample_reuse,
+                             tile_pixels=False)
         pb_obj, losses_o = fused_frame_prepared(
             pb_obj, batch, st.n_iter, n_per, lr=st.lr, wd=st.wd,
             color_scaling=st.color_scaling,
-            opacity_scaling=st.opacity_scaling, bf16=bf16)
+            opacity_scaling=st.opacity_scaling, bf16=bf16,
+            reuse=st.sample_reuse)
         loss = jax.lax.psum(losses_o[:, -1].sum(), "obj")
         loss_mean = jax.lax.psum(losses_o.sum(0), "obj").mean()
         if st.do_bg:
