@@ -67,6 +67,12 @@ def main(argv=None):
     p.add_argument("--save_ckpt", action="store_true",
                    help="save per-object + full-state checkpoints at the "
                         "export cadence (enables offline remesh.py)")
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="SECTION.KEY=VALUE",
+                   help="generic config override applied after the named "
+                        "flags, e.g. --set model.keyframe_buffer_size=40 "
+                        "(repeatable; values parsed as JSON, falling back "
+                        "to string)")
     p.add_argument("--skip_generate", action="store_true",
                    help="reuse an already-generated dataset in --work")
     p.add_argument("--skip_train", action="store_true")
@@ -156,6 +162,16 @@ def main(argv=None):
         cfg["tpu"]["sample_reuse"] = args.sample_reuse
     if args.train_seed is not None:
         cfg["tpu"]["seed"] = args.train_seed
+    for ov in args.overrides:
+        path, eq, raw = ov.partition("=")
+        sec, dot, key = path.partition(".")
+        if not (eq and dot and sec and key):
+            raise SystemExit(f"--set expects SECTION.KEY=VALUE, got {ov!r}")
+        try:
+            val = json.loads(raw)
+        except json.JSONDecodeError:
+            val = raw
+        cfg.setdefault(sec, {})[key] = val
     cfg_path = os.path.join(args.work, f"room_config_{tag}.json")
     with open(cfg_path, "w") as f:
         json.dump(cfg, f, indent=1)

@@ -60,6 +60,30 @@ for s in $STAGES; do
         --grid_dim 256 \
         --config configs/ScanNet/scene0000_imap.json --tag scannet_imap600 \
         --out $OUT/run5_scannet_imap600.json ;;
+    reuse1)
+      # reuse=1 control on THIS round's dataset generation + the jumbo-pool
+      # px_block_bg demotion — makes the reuse A/B same-dataset,
+      # same-code (run4_px1.json came from round 4's generation)
+      run reuse1 scripts/room_pipeline.py --work /tmp/vmap_room \
+        --frames 1000 --objects 40 --skip_generate \
+        --out $OUT/run5_px1_reuse1.json ;;
+    reuse4b)
+      # rerun of reuse4 on the untiled-reuse fused path (the tiled path
+      # hit an XLA:TPU backend fault at 512-slot pools; see core/step.py)
+      run reuse4b scripts/room_pipeline.py --work /tmp/vmap_room \
+        --frames 1000 --objects 40 --sample_reuse 4 --skip_generate \
+        --out $OUT/run5_px1_reuse4.json ;;
+    scannet_kf40)
+      # keyframe-eviction hypothesis for the scannet1000 completion drop:
+      # same dataset/config but a 40-slot keyframe buffer (40 kf candidates
+      # at 1000f/step25 -> zero evictions); if completion recovers toward
+      # run4's 300f numbers the 20-slot buffer churn is the cause
+      run scannet_kf40 scripts/room_pipeline.py --work /tmp/vmap_scannet \
+        --frames 1000 --objects 25 --format ScanNet \
+        --width 640 --height 480 --skip_generate \
+        --config configs/ScanNet/scene0000_vmap.json \
+        --set model.keyframe_buffer_size=40 --tag scannet1000_kf40 \
+        --out $OUT/run5_scannet1000_kf40.json ;;
     *) echo "unknown stage $s" ;;
   esac
 done

@@ -100,6 +100,86 @@ def test_reuse_composes_with_px_block():
     assert set(got) <= pool_depths
 
 
+def _sample_untiled(st, reuse, key=0):
+    packed, twc = _pool()
+    tabs = _tables()
+    obj_ids = jnp.arange(3, dtype=jnp.int32)
+    n_frames = st.n_iter * st.win
+    return jax.jit(lambda k: _sample_bank(
+        k, packed, twc, *tabs, obj_ids, n_frames, st.n_px, st.n_b2s, st,
+        reuse=reuse, tile_pixels=False))(jax.random.PRNGKey(key))
+
+
+def test_untiled_batch_matches_tiled():
+    """tile_pixels=False returns the UNTILED pixel arrays + full fresh z —
+    bit-identical to the tiled batch's first block / full z (the fused
+    path's round-5 zero-tile contract; see _prepare_batch reuse)."""
+    st = _stat()
+    for R in (2, 4):
+        t = _sample(st, R)
+        u = _sample_untiled(st, R)
+        NR = st.n_iter * st.win * st.n_px
+        blk = NR // R
+        for k in ("depth", "state", "rgb_sm", "origins_sm", "dirs_sm",
+                  "valid"):
+            np.testing.assert_array_equal(
+                np.asarray(t[k])[..., :blk], np.asarray(u[k]), err_msg=k)
+        np.testing.assert_array_equal(np.asarray(t["z_sm"]),
+                                      np.asarray(u["z_sm"]))
+
+
+def test_prepare_batch_reuse_operands_bit_identical():
+    """_prepare_batch(reuse=R) on the untiled batch must emit bit-identical
+    kernel operands to _prepare_batch(reuse=1) on the tiled batch — the
+    exactness contract that lets the fused path skip the sampler tile."""
+    from vmap_tpu.core.bank import init_bank
+    from vmap_tpu.kernels.train_step import _prepare_batch, prepare_bank
+
+    st = _stat()
+    cap, G = 3, 1
+    # pad cap to a multiple of G (already is); bank supplies scale/active
+    bank = init_bank(jax.random.PRNGKey(1), 4, 16, 2.0)
+    bank = bank.replace(active=jnp.arange(4) < 3)
+    pb = prepare_bank(bank, 4)
+    n_per = st.win * st.n_px
+    for R in (2, 4):
+        t = _sample(st, R)
+        u = _sample_untiled(st, R)
+        # _prepare_batch works on [cap] leading axes; pad cap 3 -> 4
+        pad = lambda b: {k: jnp.pad(v, ((0, 1),) + ((0, 0),) * (v.ndim - 1))
+                         for k, v in b.items()}   # noqa: E731
+        bt = _prepare_batch(pad(t), pb.scale, pb.active, pb.step,
+                            st.n_iter, n_per, pb.G)
+        bu = _prepare_batch(pad(u), pb.scale, pb.active, pb.step,
+                            st.n_iter, n_per, pb.G, reuse=R)
+        for k in ("od", "z", "pk", "wmul"):
+            np.testing.assert_array_equal(
+                np.asarray(bt[k]), np.asarray(bu[k]), err_msg=f"{k} R={R}")
+
+
+def test_fused_frame_reuse_losses_match_tiled():
+    """End-to-end: the fused kernel (interpret mode) on the untiled batch
+    with reuse=R reproduces the tiled batch's losses and parameters."""
+    from vmap_tpu.core.bank import init_bank
+    from vmap_tpu.kernels.train_step import fused_bank_frame
+
+    st = _stat()
+    R = 4
+    t = _sample(st, R)
+    u = _sample_untiled(st, R)
+    pad = lambda b: {k: jnp.pad(v, ((0, 1),) + ((0, 0),) * (v.ndim - 1))
+                     for k, v in b.items()}   # noqa: E731
+    n_per = st.win * st.n_px
+    bank = init_bank(jax.random.PRNGKey(1), 4, 16, 2.0)
+    bank = bank.replace(active=jnp.arange(4) < 3)
+    b1, l1 = fused_bank_frame(bank, pad(t), st.n_iter, n_per, 4,
+                              lr=1e-3, wd=0.01, interpret=True)
+    b2, l2 = fused_bank_frame(bank, pad(u), st.n_iter, n_per, 4,
+                              lr=1e-3, wd=0.01, interpret=True, reuse=R)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_array_equal(np.asarray(b1.flat), np.asarray(b2.flat))
+
+
 def test_reuse_e2e_training_converges():
     """Full mapper training with sample_reuse=4 still learns the field."""
     from vmap_tpu.config import Config

@@ -1328,8 +1328,19 @@ def _make_kernel(G: int, h: int, S: int, n_iter: int, n_chunks: int,
 
 def _prepare_batch(batch: dict, scale, active, step, n_iter: int,
                    n_per: int, G: int, ns: int = 1, rt: int = R_TILE,
-                   cm: int = 1, nc_pad: int | None = None):
+                   cm: int = 1, nc_pad: int | None = None, reuse: int = 1):
     """Sampler output -> kernel operand dict.
+
+    ``reuse > 1`` (iteration-reuse sampling, core/step.py): the batch's
+    PIXEL arrays (rgb/depth/state/valid/origins/dirs) cover only
+    n_iter/reuse iterations' worth of distinct rays — z_sm alone is
+    full-size (fresh per iteration). The od/pk operands and the wm half
+    of wmul are built at that reduced iteration count and repeated along
+    the ITERATION axis of the final kernel layouts (index it*NC+ch with
+    it = c*NE + i <-> iteration it reads pixel block it mod NE) — the
+    exact operands the pre-tiled sampler produced, built with ~reuse x
+    less relayout work and no sampler-side tile
+    (tests/test_sample_reuse.py asserts operand bit-equality).
 
     ``batch`` carries per-ray origins/dirs (world frame) and per-sample
     depths z; the kernel builds the sample points in-VMEM (o + z*d, both
@@ -1356,6 +1367,9 @@ def _prepare_batch(batch: dict, scale, active, step, n_iter: int,
         batch["origins_sm"] = jnp.moveaxis(batch["origins"], -1, 1)
         batch["dirs_sm"] = jnp.moveaxis(batch["dirs"], -1, 1)
     S = batch["z_sm"].shape[1]
+    assert n_iter % reuse == 0, (n_iter, reuse)
+    assert reuse == 1 or cm == 1, (reuse, cm)
+    NE = n_iter // reuse             # iterations' worth of distinct pixels
     ng = cap // G
     assert ng % ns == 0, (ng, ns)
     assert ns == 1 or cm == 1, (ns, cm)
@@ -1372,15 +1386,16 @@ def _prepare_batch(batch: dict, scale, active, step, n_iter: int,
     XP = _rup(3 * G, 8)
     active_f = active.astype(f32)
 
-    def pad_rays_sm(a):
-        """Channel/sample-major per-ray array [cap, C, NR] ->
-        [cap, C, n_iter, RP] (ray axis stays MINOR throughout — none of
-        the layout transposes below move the lane dimension)."""
-        a = a.reshape(cap, -1, n_iter, n_per)
+    def pad_rays_sm(a, ni=n_iter):
+        """Channel/sample-major per-ray array [cap, C, ni*n_per] ->
+        [cap, C, ni, RP] (ray axis stays MINOR throughout — none of
+        the layout transposes below move the lane dimension). ni is
+        NE for the pixel-periodic operands under reuse."""
+        a = a.reshape(cap, -1, ni, n_per)
         return jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, RP - n_per)))
 
-    state = batch["state"].reshape(cap, n_iter, n_per)
-    valid = batch["valid"].reshape(cap, n_iter, n_per)
+    state = batch["state"].reshape(cap, NE, n_per)
+    valid = batch["valid"].reshape(cap, NE, n_per)
     mask_obj = (state != 0).astype(f32)
     mask_sem = (state != 2).astype(f32)
     m_do = mask_obj * valid.astype(f32)
@@ -1390,8 +1405,10 @@ def _prepare_batch(batch: dict, scale, active, step, n_iter: int,
     empty = jnp.any((cnts == 0) & active[None, :, None], axis=1)   # [3, NI]
     flag = 1.0 - empty.astype(f32)
     wm = flag[:, None, :] * active_f[None, :, None] / (cnts + 1e-10)
-    wm = wm.reshape(3, npair, MG, n_iter).transpose(1, 3, 0, 2)  # np,NI,3,MG
+    wm = wm.reshape(3, npair, MG, NE).transpose(1, 3, 0, 2)  # np,NE,3,MG
     wm = jnp.pad(wm, ((0, 0), (0, 0), (0, 0), (0, OG - MG)))
+    if reuse > 1:   # repeat the pixel-periodic normalisers per iteration
+        wm = jnp.tile(wm, (1, reuse, 1, 1))
 
     # Adam per-slot factors for iteration i: t = step + i + 1
     t = (step.astype(f32)[:, None]
@@ -1424,24 +1441,26 @@ def _prepare_batch(batch: dict, scale, active, step, n_iter: int,
     # transpose below permutes MAJOR axes only — the ray (lane) dimension
     # never moves, which is the cheap direction for TPU relayouts.
     od = jnp.concatenate([batch["origins_sm"], batch["dirs_sm"]],
-                         axis=1).astype(f32) * inv_s    # [cap, 6, NR]
-    od = pad_rays_sm(od)                     # [cap, 6, NI, RP]
+                         axis=1).astype(f32) * inv_s    # [cap, 6, NE*n_per]
+    od = pad_rays_sm(od, NE)                 # [cap, 6, NE, RP]
     pkc = jnp.concatenate([
         batch["depth"].astype(f32)[:, None],
         batch["rgb_sm"].astype(f32),
         mask_obj.reshape(cap, 1, -1),
         mask_sem.reshape(cap, 1, -1),
         m_do.reshape(cap, 1, -1),
-    ], axis=1)                               # [cap, 7, NR]
-    pkc = pad_rays_sm(pkc)                   # [cap, 7, NI, RP]
-    zp = pad_rays_sm(batch["z_sm"])          # [cap, S, NI, RP]
+    ], axis=1)                               # [cap, 7, NE*n_per]
+    pkc = pad_rays_sm(pkc, NE)               # [cap, 7, NE, RP]
+    zp = pad_rays_sm(batch["z_sm"])          # [cap, S, NI, RP] (z is fresh)
 
     if cm == 1:
-        od = od.reshape(ng, G, 2, 3, n_iter, n_chunks, rt)
-        od = od.transpose(0, 4, 5, 2, 1, 3, 6)   # ng,NI,NC,2,G,3,rt
-        od = od.reshape(ng, n_iter, n_chunks, 2, 3 * G, rt)
+        od = od.reshape(ng, G, 2, 3, NE, n_chunks, rt)
+        od = od.transpose(0, 4, 5, 2, 1, 3, 6)   # ng,NE,NC,2,G,3,rt
+        od = od.reshape(ng, NE, n_chunks, 2, 3 * G, rt)
         od = jnp.pad(od, ((0, 0),) * 4 + ((0, XP - 3 * G), (0, 0)))
-        od = od.reshape(ng, n_iter * n_chunks, 2 * XP, rt)
+        od = od.reshape(ng, NE * n_chunks, 2 * XP, rt)
+        if reuse > 1:
+            od = jnp.tile(od, (1, reuse, 1, 1))
 
         z = zp.reshape(npair, MG, S, n_iter, n_chunks, rt)
         z = z.transpose(0, 3, 4, 1, 2, 5)        # np,NI,NC,MG,S,rt
@@ -1449,10 +1468,12 @@ def _prepare_batch(batch: dict, scale, active, step, n_iter: int,
         z = jnp.pad(z, ((0, 0),) * 3 + ((0, OG - MG), (0, 0)))
         z = z.reshape(npair, n_iter * n_chunks, OG, S * rt)
 
-        pk = pkc.reshape(npair, MG, 7, n_iter, n_chunks, rt)
-        pk = pk.transpose(0, 3, 4, 2, 1, 5)      # np,NI,NC,7,MG,rt
+        pk = pkc.reshape(npair, MG, 7, NE, n_chunks, rt)
+        pk = pk.transpose(0, 3, 4, 2, 1, 5)      # np,NE,NC,7,MG,rt
         pk = jnp.pad(pk, ((0, 0),) * 4 + ((0, OG - MG), (0, 0)))
-        pk = pk.reshape(npair, n_iter * n_chunks, 7 * OG, rt)
+        pk = pk.reshape(npair, NE * n_chunks, 7 * OG, rt)
+        if reuse > 1:
+            pk = jnp.tile(pk, (1, reuse, 1, 1))
         nc_out = n_chunks
     else:
         # chunk-merge layout (G=1): per-ray rows = cm consecutive chunks
@@ -1593,7 +1614,8 @@ def fused_frame_prepared(pb: PreparedBank, batch: dict, n_iter: int,
                          opacity_scaling: float = 10.0,
                          bf16: bool | str = True,
                          interpret: bool | None = None,
-                         _ablate: frozenset = frozenset()):
+                         _ablate: frozenset = frozenset(),
+                         reuse: int = 1):
     """One frame's full optimisation of a prepared bank in one pallas_call.
 
     batch: sampler output ({rgb, depth, state, valid, z, origins, dirs},
@@ -1602,6 +1624,11 @@ def fused_frame_prepared(pb: PreparedBank, batch: dict, n_iter: int,
 
     ``bf16`` is the matmul dtype policy (see ``_mm_policy``): False/"f32",
     True/"bf16", or "bwd_bf16" (f32 forward, bf16 backward matmuls).
+
+    ``reuse > 1``: the batch's pixel arrays are UNTILED (n_iter/reuse
+    iterations' worth; sampler called with tile_pixels=False) and z_sm is
+    full-size — _prepare_batch repeats the pixel operands along the
+    iteration axis of the kernel layouts (see its docstring).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1620,7 +1647,7 @@ def fused_frame_prepared(pb: PreparedBank, batch: dict, n_iter: int,
     ns = pick_ns(G, h, ng, n_per, rt)
     cm = pick_cm(G, ng, -(-n_per // rt)) if ns == 1 else 1
     b = _prepare_batch(batch, pb.scale, pb.active, pb.step, n_iter, n_per,
-                       G, ns, rt, cm)
+                       G, ns, rt, cm, reuse=reuse)
     S, n_chunks, XP = b["S"], b["n_chunks"], b["XP"]
     NI, NC = n_iter, n_chunks          # NC = merge groups/iter when cm > 1
     shared = cm > 1
@@ -1737,7 +1764,8 @@ def fused_bank_frame(bank: BankState, batch: dict, n_iter: int, n_per: int,
                      color_scaling: float = 5.0,
                      opacity_scaling: float = 10.0,
                      bf16: bool | str = False,
-                     interpret: bool | None = None):
+                     interpret: bool | None = None,
+                     reuse: int = 1):
     """Flat-bank convenience wrapper: prepare -> fused frame -> unprepare.
 
     The product path holds banks prepared across frames and calls
@@ -1749,7 +1777,7 @@ def fused_bank_frame(bank: BankState, batch: dict, n_iter: int, n_per: int,
     pb = prepare_bank(bank, G)
     pb, losses = fused_frame_prepared(
         pb, batch, n_iter, n_per, lr, wd, color_scaling, opacity_scaling,
-        bf16, interpret)
+        bf16, interpret, reuse=reuse)
     return unprepare_bank(pb), losses
 
 

@@ -113,14 +113,43 @@ def sample_z_sm(
     n_bins: int,
     surface_eps: float,
     stop_eps: float,
+    reuse: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Bins-MAJOR sample_z: returns (z [n_cam2surface + n_bins, ...],
     valid_depth_mask [...]). The production sampler path — every op runs
     with the ray batch in the lane axis (full density); the fused kernel
     consumes the sample-major layout directly (its z operand is
-    [rows, S*rt] with sample s at lane block s)."""
+    [rows, S*rt] with sample s at lane block s).
+
+    ``reuse > 1`` (iteration-reuse sampling, core/step.py): depth/state
+    cover ONE pixel block of n rays that the frame cycles ``reuse`` times;
+    z draws stay fresh for every repetition — u is drawn with a leading
+    reuse axis and depth/state broadcast across it, so the returned z is
+    [total, reuse * n], bit-identical to calling with pre-tiled inputs
+    (uniform bits depend only on the total draw count, and every branch
+    below is elementwise). valid stays UNTILED ([n]; it is periodic)."""
     valid = depth > min_depth
     total = n_cam2surface + n_bins
+    if reuse > 1:
+        assert depth.ndim == 1, depth.shape
+        nu = max(n_cam2surface + n_bins + 1, total)
+        u = jax.random.uniform(key, (nu, reuse, depth.shape[0]),
+                               dtype=jnp.float32)
+        zero = jnp.zeros_like(depth)
+        z_invalid = _stratified_from_u(
+            u[:total], zero + min_depth,
+            jnp.broadcast_to(max_bound, depth.shape))
+        z_front = _stratified_from_u(u[:n_cam2surface], zero + min_depth,
+                                     depth - surface_eps)
+        z_this = _normal_from_u(u[n_cam2surface:n_cam2surface + n_bins + 1],
+                                depth, surface_eps)
+        z_other = _stratified_from_u(u[n_cam2surface:n_cam2surface + n_bins],
+                                     depth - surface_eps, depth + stop_eps)
+        is_this = (state == THIS_OBJ)
+        z_back = jnp.where(is_this[None], z_this, z_other)
+        z_valid = jnp.concatenate([z_front, z_back], axis=0)
+        z = jnp.where(valid[None], z_valid, z_invalid)   # [total, reuse, n]
+        return z.reshape(total, reuse * depth.shape[0]), valid
 
     # ONE uniform block feeds all four samplers. The four per-ray branch
     # outcomes (invalid | front+this | front+other) are MUTUALLY EXCLUSIVE
