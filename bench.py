@@ -41,7 +41,7 @@ def build_workload(compute_dtype: str = "float32", fused: bool = True,
                    px_block_bg: int = int(os.environ.get("BENCH_PX_BLOCK_BG",
                                                          "4")),
                    sample_reuse: int = int(os.environ.get("BENCH_REUSE", "1")),
-                   burst: int = 1):
+                   burst: int = 1, n_iter: int = 20):
     import jax
     import jax.numpy as jnp
     from vmap_tpu.core.bank import activate_slot, init_bank
@@ -62,7 +62,7 @@ def build_workload(compute_dtype: str = "float32", fused: bool = True,
     POOL = int(os.environ.get("BENCH_POOL", "16"))
 
     st = StepStatics(
-        n_iter=20, win=5, n_px=24, n_b2s=1, n_bins=9,
+        n_iter=n_iter, win=5, n_px=24, n_b2s=1, n_bins=9,
         do_bg=True, win_bg=10, n_px_bg=120, n_b2s_bg=5,
         min_depth=0.0, surface_eps=0.1, stop_eps=0.05,
         lr=1e-3, wd=0.013, compute_dtype=compute_dtype,
@@ -160,41 +160,57 @@ def anchor_obj_kernel_ms() -> float:
 
 
 def verify(frames: int = 2, compute_dtype: str = "float32",
-           rtol: float = 5e-2) -> dict:
-    """On-hardware numerics gate: run ``frames`` frames through BOTH the
-    fused-Pallas and XLA-scan paths from identical initial state and keys,
-    and require per-frame loss agreement within ``rtol``.
+           rtol_sem: float = 2e-3, rtol_full: float = 0.25) -> dict:
+    """On-hardware numerics gate, two tiers, both running the fused-Pallas
+    and XLA-scan paths from identical initial state and keys:
 
-    This is a garbage/NaN catcher for hardware-only kernel failures that
-    interpret-mode exactness tests cannot see (VMAP_ALIAS=1 NaNs on v5e
-    while its interpret tests stay green, docs/round_notes.md round 4) —
-    not a bit-exactness claim: the two paths order reductions differently,
-    so percent-level drift after 20 training iterations is expected."""
+    * SEMANTIC tier (n_iter=1): with a single optimisation iteration there
+      is no compounding, so the paths must agree to reduction-order noise.
+      Measured on v5e (2026-08-20): rel 1.8e-5 / 9.2e-5 over 2 frames;
+      gate at ``rtol_sem`` (20x margin).
+    * FULL tier (n_iter=20, the production config): training is chaotic —
+      per-iteration reduction-order noise amplifies ~30x per few
+      iterations through AdamW (measured same session: 9e-5 at 1 iter,
+      2.9e-2 at 5, 7.3e-2 at 20), so this tier only catches
+      garbage/NaN/gross miscompiles (``rtol_full`` + finiteness) — the
+      VMAP_ALIAS=1 failure class (hardware NaNs invisible to
+      interpret-mode exactness tests, docs/round_notes.md round 4).
+    """
     import jax
     from vmap_tpu.utils.compcache import enable_compilation_cache
     enable_compilation_cache()
 
-    results = {}
-    for fused in (True, False):
-        step, st, (bo, bb, pool, obj_tab, obj_ids, bg_tab) = \
-            build_workload(compute_dtype, fused)
-        keys = np.asarray(jax.random.split(jax.random.PRNGKey(42),
-                                           frames + 1))
-        losses = []
-        for i in range(frames):
-            bo, bb, m = step(bo, bb, *pool, obj_tab, obj_ids, bg_tab,
-                             keys[i])
-            losses.append((float(np.asarray(m["loss"]).ravel()[-1]),
-                           float(np.asarray(m["loss_mean"]).ravel()[-1])))
-        results["fused_pallas" if fused else "xla_scan"] = losses
-    fu, xl = results["fused_pallas"], results["xla_scan"]
-    rel = [abs(a - b) / max(abs(b), 1e-9)
-           for (a, _), (b, _) in zip(fu, xl)]
-    ok = (all(np.isfinite(v) for pair in fu + xl for v in pair)
-          and max(rel) < rtol)
-    return {"metric": "fused_vs_xla_loss_reldiff", "value": round(max(rel), 6),
-            "unit": "rel", "ok": bool(ok), "rtol": rtol,
-            "detail": {"fused_losses": fu, "xla_losses": xl,
+    def run_tier(n_iter):
+        results = {}
+        for fused in (True, False):
+            step, st, (bo, bb, pool, obj_tab, obj_ids, bg_tab) = \
+                build_workload(compute_dtype, fused, n_iter=n_iter)
+            keys = np.asarray(jax.random.split(jax.random.PRNGKey(42),
+                                               frames + 1))
+            losses = []
+            for i in range(frames):
+                bo, bb, m = step(bo, bb, *pool, obj_tab, obj_ids, bg_tab,
+                                 keys[i])
+                losses.append((float(np.asarray(m["loss"]).ravel()[-1]),
+                               float(np.asarray(m["loss_mean"]).ravel()[-1])))
+            results["fused" if fused else "xla"] = losses
+        fu, xl = results["fused"], results["xla"]
+        rel = [abs(a - b) / max(abs(b), 1e-9)
+               for (a, _), (b, _) in zip(fu, xl)]
+        finite = all(np.isfinite(v) for pair in fu + xl for v in pair)
+        return max(rel), finite, fu, xl
+
+    sem_rel, sem_fin, sem_fu, sem_xl = run_tier(1)
+    full_rel, full_fin, full_fu, full_xl = run_tier(20)
+    ok = (sem_fin and full_fin and sem_rel < rtol_sem
+          and full_rel < rtol_full)
+    return {"metric": "fused_vs_xla_loss_reldiff",
+            "value": round(sem_rel, 8), "unit": "rel", "ok": bool(ok),
+            "rtol_sem": rtol_sem, "rtol_full": rtol_full,
+            "detail": {"semantic_tier_reldiff": round(sem_rel, 8),
+                       "full_tier_reldiff": round(full_rel, 6),
+                       "semantic_losses": {"fused": sem_fu, "xla": sem_xl},
+                       "full_losses": {"fused": full_fu, "xla": full_xl},
                        "frames": frames, "compute_dtype": compute_dtype}}
 
 
